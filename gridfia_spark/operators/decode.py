@@ -1,0 +1,146 @@
+"""Tile decode + gridding operators (SURVEY §7 M1).
+
+Design rule: everything that can stay JVM-side does — tile metadata (species,
+tile coords, bbox, cell ids) is derived with built-in column expressions from
+``image_id`` alone, so Catalyst can prune/push-down without touching ``bytes``.
+Pixel payloads are decoded only inside Arrow-batched ``mapInPandas`` kernels,
+and only in operators that truly need pixel values.
+
+Reference parity: metadata parsing mirrors the filename→species-code matching
+at /root/reference/gridfia/utils/zarr_utils.py:856-866 and api.py:370-389;
+dimension validation mirrors zarr_utils.py:988-996.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import codecs, grid
+from ..constants import PIX, SPECIES, X0, Y0
+
+
+def species_dim(spark: SparkSession) -> DataFrame:
+    """Species metadata dimension — the Spark analogue of the species_codes /
+    species_names sidecar arrays (zarr_utils.py:950-962). Tiny; broadcast."""
+    return spark.createDataFrame(
+        [(i, c, n) for i, (c, n) in enumerate(SPECIES)],
+        "s int, code string, name string",
+    )
+
+
+def with_tile_meta(tiles: DataFrame) -> DataFrame:
+    """Parse species/tile coords out of image_id and add the tile's bbox —
+    all built-in expressions (regexp_extract + arithmetic), no UDF."""
+    spark = tiles.sparkSession
+    d = (
+        tiles.withColumn("code", F.regexp_extract("image_id", r"^sp(\d{4})_", 1))
+        .withColumn("tx", F.regexp_extract("image_id", r"_tx(\d+)_", 1).cast("int"))
+        .withColumn("ty", F.regexp_extract("image_id", r"_ty(\d+)$", 1).cast("int"))
+    )
+    d = d.join(F.broadcast(species_dim(spark)), "code", "left")
+    return (
+        d.withColumn("xmin", F.lit(X0) + F.col("tx") * F.col("w") * F.lit(PIX))
+        .withColumn("xmax", F.col("xmin") + F.col("w") * F.lit(PIX))
+        .withColumn("ymax", F.lit(Y0) - F.col("ty") * F.col("h") * F.lit(PIX))
+        .withColumn("ymin", F.col("ymax") - F.col("h") * F.lit(PIX))
+    )
+
+
+def with_tile_cells(tiles_meta: DataFrame, res: int = grid.JOIN_RES) -> DataFrame:
+    """Explode each tile into its covering cells at ``res`` (the probe side of
+    the cell-prefix hash join). Cell ids come from a vectorized pandas UDF over
+    the bbox columns; one output row per (tile, cell)."""
+
+    @F.pandas_udf("array<long>")
+    def bbox_cells(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        out = []
+        eps = 1e-6  # treat the tile as half-open [xmin,xmax) x (ymin,ymax]
+        for a, b, c, d in zip(xmin, ymin, xmax, ymax):
+            out.append(
+                grid.cells_in_bbox(a + eps, b + eps, c - eps, d - eps, res).tolist()
+            )
+        return pd.Series(out)
+
+    return tiles_meta.withColumn(
+        "cell_id", F.explode(bbox_cells("xmin", "ymin", "xmax", "ymax"))
+    )
+
+
+def pixels_long(tiles: DataFrame, species: list[int] | None = None) -> DataFrame:
+    """Explode tiles to per-pixel rows ``(s, gx, gy, x, y, v)``.
+
+    gx/gy are *global* pixel coords; x/y the pixel-center CRS coords (computed
+    JVM-side). This long form exists for oracle-checkable small-scale queries
+    and pixel-level joins; large-scale kernels keep pixels in numpy instead
+    (see operators/metrics.py).
+    """
+    meta = with_tile_meta(tiles)
+    if species is not None:
+        meta = meta.filter(F.col("s").isin(species))
+    meta = meta.select("bytes", "w", "h", "fmt", "s", "tx", "ty")
+
+    def explode_px(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                arr = codecs.decode(row.bytes, row.w, row.h, row.fmt)
+                gy, gx = np.meshgrid(
+                    row.ty * row.h + np.arange(row.h, dtype=np.int64),
+                    row.tx * row.w + np.arange(row.w, dtype=np.int64),
+                    indexing="ij",
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "s": np.full(arr.size, row.s, dtype=np.int32),
+                            "gx": gx.ravel(),
+                            "gy": gy.ravel(),
+                            "v": arr.ravel().astype(np.float64),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    longdf = meta.mapInPandas(explode_px, "s int, gx long, gy long, v double")
+    return longdf.withColumn(
+        "x", F.lit(X0) + F.col("gx") * F.lit(PIX) + F.lit(PIX / 2)
+    ).withColumn("y", F.lit(Y0) - F.col("gy") * F.lit(PIX) - F.lit(PIX / 2))
+
+
+def decode_stats(tiles: DataFrame) -> DataFrame:
+    """Per-tile decode validation + basic stats (min/max/mean/nonzero) — the
+    analogue of the remote computeStatistics source (fia_client.py:580-606)."""
+    meta = with_tile_meta(tiles).select("image_id", "bytes", "w", "h", "fmt", "s")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = codecs.decode(row.bytes, row.w, row.h, row.fmt)
+                out.append(
+                    (
+                        row.image_id,
+                        int(row.s),
+                        float(arr.min()),
+                        float(arr.max()),
+                        float(arr.sum()),
+                        int((arr > 0).sum()),
+                        arr.size,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"],
+            )
+
+    return meta.mapInPandas(
+        stats,
+        "image_id string, s int, vmin double, vmax double, vsum double, "
+        "nonzero long, npx long",
+    )

@@ -1,0 +1,125 @@
+"""Distributed metric execution over tile cubes (SURVEY §7 M3, §3.1).
+
+The reference's execution loop (forest_metrics.py:316-438) — "for each chunk:
+stack species, run every enabled calculation" — becomes:
+
+1. co-locate all species layers of a tile: ``groupBy(tx, ty)`` +
+   ``applyInPandas`` (one small shuffle of encoded bytes, amortized across ALL
+   requested metrics — the shared-scan multi-output pattern);
+2. inside the UDF: stack to a (S, h, w) numpy cube, run every registered
+   kernel once, emit per-pixel long rows with one column per metric;
+3. global-scope metrics (rare/common/dominance, SURVEY §3.1) get their global
+   statistics from a separate tiny aggregate (partial per tile -> final
+   groupBy -> driver broadcast into the kernel pass).
+
+At cluster scale the tile table is written bucketed by (tx, ty), so step 1's
+shuffle disappears (storage-partitioned join); pixels never leave numpy until
+the final (small) aggregate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import codecs
+from ..constants import N_SPECIES
+from ..functions import kernels
+from . import decode
+
+
+@dataclass(frozen=True)
+class MetricSpec:
+    out: str  # output column name
+    kernel: str  # registry name
+    params: dict[str, Any] = field(default_factory=dict)
+    sql_type: str = "double"
+
+
+def _run_tile_kernels(pdf: pd.DataFrame, specs: list[MetricSpec]) -> pd.DataFrame:
+    """One tile group (all species rows) -> per-pixel metric columns."""
+    tx = int(pdf["tx"].iloc[0])
+    ty = int(pdf["ty"].iloc[0])
+    w = int(pdf["w"].iloc[0])
+    h = int(pdf["h"].iloc[0])
+    cube = np.zeros((N_SPECIES, h, w), dtype=np.float32)
+    for row in pdf.itertuples(index=False):
+        cube[int(row.s)] = codecs.decode(row.bytes, row.w, row.h, row.fmt)
+    gy, gx = np.meshgrid(
+        ty * h + np.arange(h, dtype=np.int64),
+        tx * w + np.arange(w, dtype=np.int64),
+        indexing="ij",
+    )
+    out = {"gx": gx.ravel(), "gy": gy.ravel()}
+    for m in specs:
+        layer = kernels.get(m.kernel)(cube, **m.params)
+        col = layer.ravel()
+        if m.sql_type in ("int", "long"):
+            out[m.out] = col.astype(np.int64)
+        else:
+            out[m.out] = col.astype(np.float64)
+    return pd.DataFrame(out)
+
+
+def metric_layers(tiles: DataFrame, specs: list[MetricSpec]) -> DataFrame:
+    """Per-pixel metric table ``(gx, gy, <metric>...)`` over the whole raster.
+
+    All metrics share one decode pass (multi-metric per chunk,
+    forest_metrics.py:410-423)."""
+    meta = decode.with_tile_meta(tiles).select(
+        "tx", "ty", "s", "bytes", "w", "h", "fmt"
+    )
+    schema = "gx long, gy long, " + ", ".join(f"{m.out} {m.sql_type}" for m in specs)
+    return meta.groupBy("tx", "ty").applyInPandas(
+        lambda pdf: _run_tile_kernels(pdf, specs), schema
+    )
+
+
+def global_occurrence_freq(tiles: DataFrame, biomass_threshold: float = 0.0) -> dict[int, float]:
+    """Global per-species occurrence frequency (two-phase distributed agg:
+    per-tile partial nonzero counts -> final sum). The global-scope variant of
+    species.py:218-226; returns {species_idx (1-based): freq}."""
+    st = decode.decode_stats(tiles).filter(F.col("s") > 0)
+    # decode_stats nonzero uses > 0; recount with threshold if nonzero default
+    if biomass_threshold != 0.0:
+        raise NotImplementedError("non-zero biomass_threshold global freq")
+    agg = (
+        st.groupBy("s")
+        .agg(F.sum("nonzero").alias("present"), F.sum("npx").alias("npx"))
+        .collect()
+    )
+    return {int(r.s): float(r.present) / float(r.npx) for r in agg}
+
+
+def rare_common_layers(
+    tiles: DataFrame,
+    rare_threshold: float = 0.01,
+    common_threshold: float = 0.10,
+) -> DataFrame:
+    """Global-scope rare/common species counts per pixel (SURVEY A14/A15):
+    global frequency aggregate broadcast back into the per-tile kernel pass."""
+    freqs = global_occurrence_freq(tiles)
+    freq_arr = np.array([freqs[i] for i in range(1, N_SPECIES)])
+    specs = [
+        MetricSpec("rare_cnt", "rare_species", {"occurrence_threshold": rare_threshold, "freq": freq_arr}, "long"),
+        MetricSpec("common_cnt", "common_species", {"occurrence_threshold": common_threshold, "freq": freq_arr}, "long"),
+    ]
+    return metric_layers(tiles, specs)
+
+
+def species_dominance_global(tiles: DataFrame) -> DataFrame:
+    """Global-scope dominance % per species (A13): per-pixel argmax in the
+    tile pass, then one global conditional average per species."""
+    dom = metric_layers(tiles, [MetricSpec("dom", "dominant_species", {}, "long")])
+    total = dom.count()
+    return (
+        dom.filter(F.col("dom") > 0)
+        .groupBy("dom")
+        .agg((F.count("*") / F.lit(total) * 100.0).alias("dominance_pct"))
+        .withColumnRenamed("dom", "s")
+    )

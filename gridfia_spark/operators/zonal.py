@@ -1,0 +1,103 @@
+"""Raster→vector zonal aggregation (north rule core; SURVEY §2.4 A19).
+
+Per-polygon statistics of a species layer over all pixels whose center falls
+inside the polygon — the distributed recast of GridFIA's "summarize biomass by
+county" workflow (spatial join at parallel_processing.py:90 + stats like
+species_presence.py:92-125).
+
+Execution shape (scale-first):
+1. cell-prefix candidate join (image_id × poly_id) — broadcast, no shuffle of
+   tile bytes;
+2. one ``mapInPandas`` pass over candidate pairs: decode each tile once,
+   vectorized PIP mask for boundary tiles (skipped entirely for tiles provably
+   inside), emit **per-tile partial aggregates** (sum/count/max/nonzero);
+3. tiny ``groupBy(poly_id)`` final aggregation over partials.
+
+Per-tile partials keep the shuffle O(pairs), not O(pixels), and make float
+sums deterministic across parallelism levels: pixel values are integer-valued
+float32, partial sums are exact in float64, and the final combine sums a few
+hundred exact values — bit-equal at local[1] and local[32].
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import codecs, geom
+from ..constants import PIX, X0, Y0
+from . import decode, spatial_join
+
+
+def zonal_stats(
+    tiles: DataFrame,
+    polygons: DataFrame,
+    species: int = 0,
+    res: int | None = None,
+) -> DataFrame:
+    """Per-polygon (poly_id) stats of one species layer:
+    n_px, sum_v, mean_v, max_v, nonzero_px.
+
+    Pixel membership: pixel-center-in-polygon (exact; centers never sit on
+    fixture boundaries). Pixels with value 0 count toward n_px but not
+    nonzero_px — matching the reference's coverage stats
+    (species_presence.py:92-125).
+    """
+    from .. import grid
+
+    res = res if res is not None else grid.JOIN_RES
+    meta = decode.with_tile_meta(tiles).filter(F.col("s") == species)
+    cand = spatial_join.join_tiles_polygons(meta, polygons, res)
+    pairs = cand.join(
+        meta.select("image_id", "bytes", "w", "h", "fmt", "tx", "ty"), "image_id"
+    ).join(F.broadcast(polygons.select("poly_id", "geom_wkb")), "poly_id")
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = codecs.decode(row.bytes, row.w, row.h, row.fmt)
+                if row.tile_inside:
+                    vals = arr.ravel().astype(np.float64)
+                else:
+                    # pixel-center coordinates of this tile
+                    cx = X0 + (row.tx * row.w + np.arange(row.w)) * PIX + PIX / 2
+                    cy = Y0 - (row.ty * row.h + np.arange(row.h)) * PIX - PIX / 2
+                    gx, gy = np.meshgrid(cx, cy)
+                    rings = geom.wkb_to_polygon(bytes(row.geom_wkb))
+                    mask = geom.points_in_polygon(gx.ravel(), gy.ravel(), rings)
+                    if not mask.any():
+                        continue
+                    vals = arr.ravel().astype(np.float64)[mask]
+                out.append(
+                    (
+                        row.poly_id,
+                        int(vals.size),
+                        float(vals.sum()),
+                        float(vals.max()),
+                        int((vals > 0).sum()),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["poly_id", "n_px", "sum_v", "max_v", "nonzero_px"]
+                )
+
+    part = pairs.mapInPandas(
+        partials,
+        "poly_id string, n_px long, sum_v double, max_v double, nonzero_px long",
+    )
+    return (
+        part.groupBy("poly_id")
+        .agg(
+            F.sum("n_px").alias("n_px"),
+            F.sum("sum_v").alias("sum_v"),
+            F.max("max_v").alias("max_v"),
+            F.sum("nonzero_px").alias("nonzero_px"),
+        )
+        .withColumn("mean_v", F.col("sum_v") / F.col("n_px"))
+    )

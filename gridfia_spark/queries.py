@@ -1,0 +1,279 @@
+"""Driver-facing query registry: Spark queries + DuckDB oracle SQL.
+
+Each entry runs one engine operator end-to-end on the deterministic tile
+universe (or the driver's TPC-H-ish/documents tables) and has a matching
+self-contained DuckDB oracle. Column names/types are aligned on both sides —
+the driver hashes values after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .constants import SPECIES, spec_for_sf_dir
+from .datagen import oracle_sql as osql
+from .datagen import tiles as tgen
+from .datagen import vectors
+from .operators import decode, knn, metrics, spatial_join, zonal
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, Callable[[str], str] | None] = {}
+
+
+def q(name: str, oracle: Callable[[str], str] | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracles() -> dict[str, str]:
+    # oracle builders are parameterized by sf_dir; the driver runs at sf0.01
+    return {
+        name: fn("/root/testdata/sf0.01")
+        for name, fn in _ORACLES.items()
+        if fn is not None
+    }
+
+
+def _rect_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tgen.polygons_df(spark, sf_dir).filter(F.col("is_rect"))
+
+
+# ===================================================================
+# Geospatial engine queries (synthetic tile universe)
+# ===================================================================
+
+
+def _o_zonal(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.total_cte(spec)},
+{osql.counties_cte(spec)}
+SELECT c.poly_id AS poly_id,
+       COUNT(*)::BIGINT AS n_px,
+       CAST(SUM(t.v) AS DOUBLE) AS sum_v,
+       CAST(MAX(t.v) AS DOUBLE) AS max_v,
+       CAST(SUM(CASE WHEN t.v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero_px,
+       ROUND(CAST(SUM(t.v) AS DOUBLE) / COUNT(*), 6) AS mean_v
+FROM total t JOIN counties c
+  ON t.x > c.xmin AND t.x < c.xmax AND t.y > c.ymin AND t.y < c.ymax
+GROUP BY c.poly_id"""
+
+
+@q("zonal_total_biomass", _o_zonal)
+def zonal_total_biomass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-county zonal stats of the total-biomass layer
+    (SURVEY A19 / M2)."""
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    polys = _rect_polys(spark, sf_dir)
+    out = zonal.zonal_stats(tiles, polys, species=0)
+    return out.select(
+        "poly_id",
+        F.col("n_px").cast("long"),
+        F.col("sum_v").cast("double"),
+        F.col("max_v").cast("double"),
+        F.col("nonzero_px").cast("long"),
+        F.round("mean_v", 6).alias("mean_v"),
+    )
+
+
+def _o_tile_assignment(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.tiles_cte(spec)},
+{osql.counties_cte(spec)}
+SELECT c.poly_id AS poly_id, t.image_id AS image_id
+FROM tiles t JOIN counties c
+  ON t.xmin < c.xmax AND t.xmax > c.xmin AND t.ymin < c.ymax AND t.ymax > c.ymin"""
+
+
+@q("tile_assignment", _o_tile_assignment)
+def tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster tile assignment: exact (poly_id, image_id) pairs with
+    positive-area overlap (north rule exact-match contract)."""
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    meta = decode.with_tile_meta(tiles)
+    polys = _rect_polys(spark, sf_dir)
+    return spatial_join.assign_tiles(meta, polys).select("poly_id", "image_id")
+
+
+def _o_pip(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1][2:]
+    n = vectors.N_POINTS.get(sf, 200)
+    return f"""WITH {osql.points_cte(spec, n)},
+{osql.counties_cte(spec)}
+SELECT p.point_id AS point_id, c.poly_id AS poly_id
+FROM points p JOIN counties c
+  ON p.x > c.xmin AND p.x < c.xmax AND p.y > c.ymin AND p.y < c.ymax"""
+
+
+@q("pip_points", _o_pip)
+def pip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join via cell-prefix join + ray-casting refinement."""
+    pts = tgen.points_df(spark, sf_dir)
+    polys = _rect_polys(spark, sf_dir)
+    out = spatial_join.join_points_polygons(pts, polys)
+    return out.select("point_id", "poly_id")
+
+
+def _o_knn(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1][2:]
+    n = vectors.N_POINTS.get(sf, 200)
+    return f"""WITH {osql.points_cte(spec, n)},
+d AS (
+  SELECT a.point_id AS point_id, b.point_id AS neighbor_id,
+         (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist_sq,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.point_id
+           ORDER BY (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), b.point_id
+         ) AS rank
+  FROM points a JOIN points b ON a.point_id <> b.point_id
+)
+SELECT point_id, rank::INT AS rank, neighbor_id, dist_sq
+FROM d WHERE rank <= 5"""
+
+
+@q("knn_points", _o_knn)
+def knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN (k=5) via cell k-ring expansion + windowed top-k."""
+    pts = tgen.points_df(spark, sf_dir)
+    out = knn.knn_join(pts, pts, k=5)
+    return out.select(
+        "point_id",
+        F.col("rank").cast("int"),
+        "neighbor_id",
+        F.col("dist_sq").cast("double"),
+    )
+
+
+def _o_decode_stats(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    return f"""WITH {osql.val_cte(spec)},
+allpx AS (
+  SELECT s, gx, gy, v FROM val
+  UNION ALL
+  SELECT 0 AS s, gx, gy, SUM(v) AS v FROM val GROUP BY gx, gy
+),
+{osql.tiles_cte(spec)}
+SELECT t.image_id AS image_id, t.s AS s,
+       CAST(MIN(p.v) AS DOUBLE) AS vmin,
+       CAST(MAX(p.v) AS DOUBLE) AS vmax,
+       CAST(SUM(p.v) AS DOUBLE) AS vsum,
+       CAST(SUM(CASE WHEN p.v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero,
+       COUNT(*)::BIGINT AS npx
+FROM allpx p JOIN tiles t
+  ON p.s = t.s AND p.gx // {tw} = t.tx AND p.gy // {th} = t.ty
+GROUP BY t.image_id, t.s"""
+
+
+@q("tile_decode_stats", _o_decode_stats)
+def tile_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile decode + statistics (SURVEY S10/A17 analogue)."""
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    return decode.decode_stats(tiles).select(
+        "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
+    )
+
+
+def _o_caption(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    names = ",".join(f"({i},'{c}','{n}')" for i, (c, n) in enumerate(SPECIES))
+    return f"""WITH {osql.tiles_cte(spec)},
+spn(s, code, name) AS (SELECT * FROM (VALUES {names}) v(s, code, name))
+SELECT t.image_id AS image_id,
+       'species=' || n.code || ';name=' || n.name ||
+       ';tile=(' || t.tx || ',' || t.ty || ');crs=ESRI:102039;' ||
+       'transform=[-2000000.0,30.0,0.0,-900000.0,0.0,-30.0];units=Mg/ha'
+         AS caption
+FROM tiles t JOIN spn n ON t.s = n.s"""
+
+
+@q("caption_check", _o_caption)
+def caption_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row caption-equality contract (BASELINE.json input_hint)."""
+    return tgen.ensure_tiles(spark, sf_dir).select("image_id", "caption")
+
+
+def _o_metrics_px(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.val_cte(spec)},
+m AS (
+  SELECT gx, gy,
+         CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS richness,
+         CAST(SUM(v) AS DOUBLE) AS total_v,
+         MAX(v) AS mx
+  FROM val GROUP BY gx, gy
+),
+dom AS (
+  SELECT v.gx, v.gy, MIN(v.s) AS min_s
+  FROM val v JOIN m ON v.gx = m.gx AND v.gy = m.gy AND v.v = m.mx
+  GROUP BY v.gx, v.gy
+)
+SELECT m.gx AS gx, m.gy AS gy, m.richness AS richness, m.total_v AS total_v,
+       CAST(CASE WHEN m.mx > 0 THEN dom.min_s ELSE 0 END AS BIGINT) AS dominant
+FROM m JOIN dom ON m.gx = dom.gx AND m.gy = dom.gy"""
+
+
+@q("metrics_pixel", _o_metrics_px)
+def metrics_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pixel richness/total/dominant-species in one shared kernel pass
+    (SURVEY A1/A5/A11)."""
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    specs = [
+        metrics.MetricSpec("richness", "species_richness", {}, "long"),
+        metrics.MetricSpec("total_v", "total_biomass", {}, "double"),
+        metrics.MetricSpec("dominant", "dominant_species", {}, "long"),
+    ]
+    return metrics.metric_layers(tiles, specs)
+
+
+def _o_diversity_px(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.val_cte(spec)},
+t AS (SELECT gx, gy, CAST(SUM(v) AS DOUBLE) AS total,
+             SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS rich
+      FROM val GROUP BY gx, gy),
+sh AS (
+  SELECT v.gx, v.gy,
+         SUM(CASE WHEN v.v > 0 THEN -(v.v / t.total) * ln(v.v / t.total) ELSE 0 END) AS shannon,
+         SUM(CASE WHEN v.v > 0 THEN (v.v / t.total) * (v.v / t.total) ELSE 0 END) AS sumsq
+  FROM val v JOIN t ON v.gx = t.gx AND v.gy = t.gy AND t.total > 0
+  GROUP BY v.gx, v.gy
+)
+SELECT t.gx AS gx, t.gy AS gy,
+       ROUND(COALESCE(sh.shannon, 0.0), 6) AS shannon,
+       -- reference quirk (diversity.py:188-192): empty pixels -> 1.0, not 0
+       ROUND(CASE WHEN sh.sumsq IS NOT NULL THEN 1.0 / sh.sumsq ELSE 1.0 END, 6) AS simpson_inv,
+       ROUND(CASE WHEN t.rich > 1 THEN sh.shannon / ln(t.rich) ELSE 0.0 END, 6) AS evenness
+FROM t LEFT JOIN sh ON t.gx = sh.gx AND t.gy = sh.gy"""
+
+
+@q("diversity_pixel", _o_diversity_px)
+def diversity_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pixel Shannon / inverse-Simpson / Pielou evenness (SURVEY A2-A4)."""
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    specs = [
+        metrics.MetricSpec("shannon", "shannon_diversity", {}, "double"),
+        metrics.MetricSpec("simpson_inv", "simpson_diversity", {}, "double"),
+        metrics.MetricSpec("evenness", "evenness", {}, "double"),
+    ]
+    out = metrics.metric_layers(tiles, specs)
+    return out.select(
+        "gx",
+        "gy",
+        F.round("shannon", 6).alias("shannon"),
+        F.round("simpson_inv", 6).alias("simpson_inv"),
+        F.round("evenness", 6).alias("evenness"),
+    )
