@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The headline metric follows BASELINE.json: spatial-join + tile-assignment
+throughput in images/sec. ``--scaling`` additionally runs the identical
+flagship job at local[8] and local[32] on identical input and reports
+throughput at both + scaling efficiency (the sandbox stand-in for N vs 4N
+executors), appending the evidence to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _headline_queries():
+    from gridfia_spark import queries as Q
+
+    return {
+        "zonal_total_biomass": Q.zonal_total_biomass,
+        "tile_assignment": Q.tile_assignment,
+        "pip_points": Q.pip_points,
+        "knn_points": Q.knn_points,
+        "metrics_pixel": Q.metrics_pixel,
+        "diversity_pixel": Q.diversity_pixel,
+        "tile_decode_stats": Q.tile_decode_stats,
+    }
+
+
+def flagship_job(spark, sf_dir: str) -> int:
+    """The metric job: spatial join (zonal candidates) + tile assignment over
+    every image; returns number of images processed."""
+    from pyspark.sql import functions as F
+
+    from gridfia_spark.datagen import tiles as tgen
+    from gridfia_spark.operators import broadcast_join, decode
+
+    from gridfia_spark import grid
+    from gridfia_spark.constants import PIX, spec_for_sf_dir
+
+    res = grid.res_for_size(spec_for_sf_dir(sf_dir).tile_w * PIX * 2)
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    meta = decode.with_tile_meta(tiles)
+    polys = tgen.polygons_df(spark, sf_dir)
+    n_assign = broadcast_join.assign_tiles_fast(meta, polys, res=res).count()
+    # zonal over EVERY species layer: each image participates in the join
+    broadcast_join.zonal_stats_fast(tiles, polys, species=None, res=res).collect()
+    assert n_assign > 0
+    return tiles.count()
+
+
+def run_bench() -> dict:
+    from gridfia_spark.datagen import tiles as tgen
+    from gridfia_spark.session import get_spark
+
+    spark = get_spark(cores=CPUS, app_name="gridfia-bench")
+    # warm: materialize tile cache, JVM JIT, and Python UDF workers
+    # (pandas/pyarrow import in each worker) — excluded from timings
+    tgen.ensure_tiles(spark, SF_DIR).count()
+    flagship_job(spark, SF_DIR)
+    timings: dict[str, float] = {}
+    for name, fn in _headline_queries().items():
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship throughput at the configured parallelism
+    t0 = time.time()
+    n_images = flagship_job(spark, SF_DIR)
+    flagship_s = time.time() - t0
+    spark.stop()
+    return {
+        "metric": "spatial_join_tile_assignment_images_per_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("/", 1)[-1],
+        "images": n_images,
+        "images_per_sec": round(n_images / flagship_s, 1),
+        "flagship_sec": round(flagship_s, 3),
+        "cpus": CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, identical input, local[8] vs local[32] (N vs 4N).
+
+    Uses the 'bench' tile scale (13,824 images ≈ 226 M px/layer ≈ the
+    reference's NC grid) so the job is compute-bound, not overhead-bound —
+    the regime a 1000-executor cluster actually runs in."""
+    from gridfia_spark.datagen import tiles as tgen
+    from gridfia_spark.session import get_spark
+
+    bench_dir = "bench"
+    out = {}
+    for cores in (8, 32):
+        spark = get_spark(cores=cores, app_name=f"gridfia-scale-{cores}")
+        tgen.ensure_tiles(spark, bench_dir).count()  # warm cache + JVM
+        # two warmups on the measured data: every worker in the pool must
+        # run a first task (pandas/pyarrow import) before steady state
+        flagship_job(spark, bench_dir)
+        flagship_job(spark, bench_dir)
+        t0 = time.time()
+        n = flagship_job(spark, bench_dir)
+        dt = time.time() - t0
+        spark.stop()
+        out[f"local[{cores}]"] = {
+            "images": n,
+            "sec": round(dt, 3),
+            "images_per_sec": round(n / dt, 1),
+        }
+    t8 = out["local[8]"]["images_per_sec"]
+    t32 = out["local[32]"]["images_per_sec"]
+    out["scaling_efficiency_8_to_32"] = round((t32 / t8) / 4.0, 3)
+    return out
+
+
+def main() -> None:
+    result = run_bench()
+    if "--scaling" in sys.argv:
+        result["scaling"] = run_scaling()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,13 +84,18 @@ SF_SPECS: dict[str, GridSpec] = {
     "0.001": GridSpec(2, 2, 32, 32),
     "0.01": GridSpec(4, 4, 48, 48),
     "0.1": GridSpec(12, 12, 64, 64),
+    # scaling-bench scale: 6x96x96 = 55,296 images x 16K px ≈ 906 M px total,
+    # ~3x the reference's NC benchmark grid (289 M px,
+    # docs/data-pipeline/zarr-construction.md:204) — big enough that compute
+    # dominates fixed per-stage scheduling, the regime a real cluster runs in
+    "bench": GridSpec(96, 96, 128, 128),
 }
 
 
 def spec_for_sf_dir(sf_dir: str) -> GridSpec:
     """Resolve a GridSpec from a driver sf dir like '/root/testdata/sf0.01'."""
     name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    sf = name[2:] if name.startswith("sf") else name
+    sf = name[2:] if name.startswith("sf") and name != "bench" else name
     if sf in SF_SPECS:
         return SF_SPECS[sf]
     raise ValueError(f"unknown scale factor dir: {sf_dir!r}")

@@ -85,7 +85,7 @@ def generate_tiles(spark: SparkSession, spec: GridSpec, fmt: str = "rawz") -> Da
             yield pd.DataFrame(out)
 
     m = manifest_df(spark, spec, fmt)
-    n_part = min(max(spec.n_images // 8, 1), 64)
+    n_part = min(max(spec.n_images // 32, 4), 64)
     return m.repartition(n_part, "image_id").mapInPandas(gen, TILE_SCHEMA)
 
 

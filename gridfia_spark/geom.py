@@ -103,65 +103,82 @@ def points_in_polygon(
 # ------------------------------------------- rect/segment relations
 
 
-def _segments_intersect_rect(
-    rings: list[np.ndarray], xmin: float, ymin: float, xmax: float, ymax: float
-) -> bool:
-    """True if any polygon edge intersects the (closed) rectangle."""
-    for ring in rings:
-        p = ring[:-1]
-        q = ring[1:]
-        # trivial reject: both endpoints on the same outside side
-        bx = np.maximum(p[:, 0], q[:, 0]) < xmin
-        bx |= np.minimum(p[:, 0], q[:, 0]) > xmax
-        bx |= np.maximum(p[:, 1], q[:, 1]) < ymin
-        bx |= np.minimum(p[:, 1], q[:, 1]) > ymax
-        cand = ~bx
-        if not cand.any():
-            continue
-        for i in np.nonzero(cand)[0]:
-            if _segment_hits_rect(p[i], q[i], xmin, ymin, xmax, ymax):
-                return True
-    return False
-
-
-def _segment_hits_rect(p, q, xmin, ymin, xmax, ymax) -> bool:
-    """Liang-Barsky clip: does segment p->q intersect the rectangle?"""
-    dx, dy = q[0] - p[0], q[1] - p[1]
-    t0, t1 = 0.0, 1.0
-    for delta, lo, hi, o in (
-        (dx, xmin, xmax, p[0]),
-        (dy, ymin, ymax, p[1]),
-    ):
-        if delta == 0.0:
-            if o < lo or o > hi:
-                return False
-            continue
-        ta, tb = (lo - o) / delta, (hi - o) / delta
-        if ta > tb:
-            ta, tb = tb, ta
-        t0, t1 = max(t0, ta), min(t1, tb)
-        if t0 > t1:
-            return False
-    return True
-
-
 def rect_relation(
     rings: list[np.ndarray], xmin: float, ymin: float, xmax: float, ymax: float
 ) -> str:
     """'inside' | 'partial' | 'outside' — rectangle vs polygon relation."""
-    corners_x = np.array([xmin, xmax, xmax, xmin])
-    corners_y = np.array([ymin, ymin, ymax, ymax])
-    corners_in = points_in_polygon(corners_x, corners_y, rings)
-    edges_hit = _segments_intersect_rect(rings, xmin, ymin, xmax, ymax)
-    if corners_in.all() and not edges_hit:
-        return "inside"
-    if corners_in.any() or edges_hit:
-        return "partial"
-    # rect may fully contain the polygon
+    rel = rect_relation_batch(
+        rings, np.array([xmin]), np.array([ymin]), np.array([xmax]), np.array([ymax])
+    )[0]
+    return ("outside", "partial", "inside")[rel]
+
+
+def _edges_hit_rects(
+    rings: list[np.ndarray],
+    xmin: np.ndarray,
+    ymin: np.ndarray,
+    xmax: np.ndarray,
+    ymax: np.ndarray,
+) -> np.ndarray:
+    """Vectorized Liang-Barsky: for N rects, does ANY polygon edge intersect?
+    Loops over edges (few), vectorized over rects (many)."""
+    n = xmin.shape[0]
+    hit = np.zeros(n, dtype=bool)
+    for ring in rings:
+        for (px, py), (qx, qy) in zip(ring[:-1], ring[1:]):
+            todo = ~hit
+            if not todo.any():
+                return hit
+            t0 = np.zeros(n)
+            t1 = np.ones(n)
+            ok = todo.copy()
+            for delta, lo, hi, o in (
+                (qx - px, xmin, xmax, px),
+                (qy - py, ymin, ymax, py),
+            ):
+                if delta == 0.0:
+                    ok &= (o >= lo) & (o <= hi)
+                else:
+                    ta = (lo - o) / delta
+                    tb = (hi - o) / delta
+                    lo_t = np.minimum(ta, tb)
+                    hi_t = np.maximum(ta, tb)
+                    t0 = np.maximum(t0, lo_t)
+                    t1 = np.minimum(t1, hi_t)
+            ok &= t0 <= t1
+            hit |= ok
+    return hit
+
+
+def rect_relation_batch(
+    rings: list[np.ndarray],
+    xmin: np.ndarray,
+    ymin: np.ndarray,
+    xmax: np.ndarray,
+    ymax: np.ndarray,
+) -> np.ndarray:
+    """Vectorized rect-vs-polygon relation for N rects.
+
+    Returns int array: 0=outside, 1=partial, 2=inside. This is the hot path
+    of polygon covering (driver-side for small polygon dims, inside pandas
+    UDFs for large ones) — all numpy, no per-rect Python."""
+    n = xmin.shape[0]
+    cx = np.stack([xmin, xmax, xmax, xmin], axis=1).ravel()
+    cy = np.stack([ymin, ymin, ymax, ymax], axis=1).ravel()
+    corners_in = points_in_polygon(cx, cy, rings).reshape(n, 4)
+    all_in = corners_in.all(axis=1)
+    any_in = corners_in.any(axis=1)
+    edges_hit = _edges_hit_rects(rings, xmin, ymin, xmax, ymax)
+    out = np.zeros(n, dtype=np.int8)
+    out[any_in | edges_hit] = 1
+    out[all_in & ~edges_hit] = 2
+    # rect fully containing the polygon: first vertex inside rect
     v = rings[0][0]
-    if xmin <= v[0] <= xmax and ymin <= v[1] <= ymax:
-        return "partial"
-    return "outside"
+    contains = (
+        (out == 0) & (xmin <= v[0]) & (v[0] <= xmax) & (ymin <= v[1]) & (v[1] <= ymax)
+    )
+    out[contains] = 1
+    return out
 
 
 # ------------------------------------------------------------ covering
@@ -178,22 +195,36 @@ def polygon_covering(
     (FIXTURES.md §2 ``polygon_cells``).
     """
     xmin, ymin, xmax, ymax = polygon_bounds(rings)
-    frontier = list(grid.cells_in_bbox(xmin, ymin, xmax, ymax, res_min))
-    out_cells: list[int] = []
-    out_full: list[bool] = []
-    while frontier:
-        cell = frontier.pop()
-        cxmin, cymin, cxmax, cymax = (float(v) for v in grid.cell_bounds(cell))
-        rel = rect_relation(rings, cxmin, cymin, cxmax, cymax)
-        if rel == "outside":
-            continue
-        _, _, res = grid.decode_cell(np.asarray([cell]))
-        if rel == "inside":
-            out_cells.append(int(cell))
-            out_full.append(True)
-        elif int(res[0]) >= res_max:
-            out_cells.append(int(cell))
-            out_full.append(False)
-        else:
-            frontier.extend(int(c) for c in grid.children(int(cell)))
-    return np.asarray(out_cells, dtype=np.int64), np.asarray(out_full, dtype=bool)
+    frontier = grid.cells_in_bbox(xmin, ymin, xmax, ymax, res_min)
+    out_cells: list[np.ndarray] = []
+    out_full: list[np.ndarray] = []
+    res = res_min
+    while frontier.size:
+        cxmin, cymin, cxmax, cymax = grid.cell_bounds(frontier)
+        rel = rect_relation_batch(rings, cxmin, cymin, cxmax, cymax)
+        inside = frontier[rel == 2]
+        if inside.size:
+            out_cells.append(inside)
+            out_full.append(np.ones(inside.size, dtype=bool))
+        partial = frontier[rel == 1]
+        if res >= res_max:
+            if partial.size:
+                out_cells.append(partial)
+                out_full.append(np.zeros(partial.size, dtype=bool))
+            break
+        # descend: 4 children per partial cell, all vectorized
+        ix, iy, _ = grid.decode_cell(partial)
+        dx = np.array([0, 1, 0, 1], dtype=np.int64)
+        dy = np.array([0, 0, 1, 1], dtype=np.int64)
+        frontier = grid.encode_cell(
+            (2 * ix[:, None] + dx[None, :]).ravel(),
+            (2 * iy[:, None] + dy[None, :]).ravel(),
+            res + 1,
+        )
+        res += 1
+    if not out_cells:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=bool)
+    return (
+        np.concatenate(out_cells).astype(np.int64),
+        np.concatenate(out_full),
+    )

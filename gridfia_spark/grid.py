@@ -32,6 +32,16 @@ def cell_size(res: int) -> float:
     return WORLD_SIZE / (1 << res)
 
 
+def res_for_size(target_m: float, lo: int = 8, hi: int = 20) -> int:
+    """Finest resolution whose cells are at least ``target_m`` across.
+
+    Used to pick a join resolution proportional to tile size, so covering
+    cell counts stay bounded regardless of dataset extent (a county is
+    ~O(10^2) cells whether the raster is 2 km or 200 km wide)."""
+    res = int(np.floor(np.log2(WORLD_SIZE / max(target_m, 1.0))))
+    return int(np.clip(res, lo, hi))
+
+
 def _part1by1(x: np.ndarray) -> np.ndarray:
     """Spread the low 29 bits of x so they occupy even bit positions."""
     x = x.astype(np.uint64) & np.uint64(0x1FFFFFFF)
@@ -123,6 +133,38 @@ def k_ring(cell: np.ndarray, k: int) -> np.ndarray:
     nx = np.clip(ix[:, None] + dx.ravel()[None, :], 0, n - 1)
     ny = np.clip(iy[:, None] + dy.ravel()[None, :], 0, n - 1)
     return encode_cell(nx, ny, r)
+
+
+def bbox_cells_batch(
+    xmin: np.ndarray,
+    ymin: np.ndarray,
+    xmax: np.ndarray,
+    ymax: np.ndarray,
+    res: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Covering cells for N bboxes at once -> (row_idx, cell_id) pairs.
+
+    Fully vectorized (no per-bbox Python): computes per-bbox index ranges,
+    then expands them with repeat/tile arithmetic. Used by the tile-side of
+    the cell-prefix join inside Arrow UDF batches."""
+    size = cell_size(res)
+    n = np.int64((1 << res) - 1)
+    ix0 = np.clip(np.floor((np.asarray(xmin) - WORLD_X0) / size).astype(np.int64), 0, n)
+    ix1 = np.clip(np.floor((np.asarray(xmax) - WORLD_X0) / size).astype(np.int64), 0, n)
+    iy0 = np.clip(np.floor((WORLD_Y0 - np.asarray(ymax)) / size).astype(np.int64), 0, n)
+    iy1 = np.clip(np.floor((WORLD_Y0 - np.asarray(ymin)) / size).astype(np.int64), 0, n)
+    nx = ix1 - ix0 + 1
+    ny = iy1 - iy0 + 1
+    counts = nx * ny
+    row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    # within-bbox flat offset 0..counts-1 via cumulative trick
+    total = int(counts.sum())
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    flat = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    nx_r = np.repeat(nx, counts)
+    ix = np.repeat(ix0, counts) + flat % nx_r
+    iy = np.repeat(iy0, counts) + flat // nx_r
+    return row_idx, encode_cell(ix, iy, res)
 
 
 def cells_in_bbox(

@@ -1,0 +1,232 @@
+"""Map-side spatial join for small polygon dimensions (the common case).
+
+When the polygon side is a small dimension (state/county boundaries — the
+reference's GeoDataFrame fits in memory, boundaries.py:30-49), the idiomatic
+distributed plan is a **broadcast hash join with zero shuffles**: the
+covering-cell→polygon index is built once on the driver, shipped to every
+task closure (Spark broadcasts pickled closures), and probed inside the
+Arrow UDF batch — pure numpy/pandas merges, no per-row Python.
+
+This gives:
+- tile assignment: a map-only job (no shuffle at all);
+- zonal stats: one map pass emitting per-(tile,poly) partials + one tiny
+  final aggregation — the minimum possible stage count.
+
+The DataFrame cell-join path (operators/spatial_join.py) remains the plan
+for LARGE polygon sides (millions of polygons), where the index no longer
+fits on the driver. Both paths are semantically identical and tested equal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import codecs, geom, grid
+from ..constants import PIX, X0, Y0
+from . import decode
+
+
+@dataclass
+class PolygonIndex:
+    """Driver-built covering index over a small polygon set."""
+
+    poly_ids: list[str]
+    rings: list[list[np.ndarray]]  # per polygon
+    bounds: np.ndarray  # (n, 4) xmin ymin xmax ymax
+    cell_to_poly: pd.DataFrame  # columns: cell_id, pidx, fully_inside
+    res: int
+
+    @classmethod
+    def build(cls, polygons: DataFrame, res: int) -> "PolygonIndex":
+        rows = polygons.select("poly_id", "geom_wkb").collect()
+        poly_ids, all_rings, bounds = [], [], []
+        recs = []
+        for pidx, r in enumerate(rows):
+            rings = geom.wkb_to_polygon(bytes(r.geom_wkb))
+            poly_ids.append(r.poly_id)
+            all_rings.append(rings)
+            bounds.append(geom.polygon_bounds(rings))
+            cells, full = geom.polygon_covering(rings, min(res, 10), res)
+            # normalize coarse inside-cells down to res (vectorized per level)
+            ix, iy, rr = grid.decode_cell(cells)
+            for level in np.unique(rr):
+                sel = rr == level
+                shift = int(res - level)
+                if shift == 0:
+                    for c, f in zip(cells[sel].tolist(), full[sel].tolist()):
+                        recs.append((c, pidx, f))
+                else:
+                    # expand each coarse cell to its 2^shift x 2^shift block
+                    k = 1 << shift
+                    offs = np.arange(k, dtype=np.int64)
+                    ox, oy = np.meshgrid(offs, offs)
+                    bx = (ix[sel][:, None] << shift) + ox.ravel()[None, :]
+                    by = (iy[sel][:, None] << shift) + oy.ravel()[None, :]
+                    sub = grid.encode_cell(bx.ravel(), by.ravel(), res)
+                    fsel = np.repeat(full[sel], k * k)
+                    recs.extend(
+                        (int(c), pidx, bool(f)) for c, f in zip(sub.tolist(), fsel.tolist())
+                    )
+        c2p = pd.DataFrame(recs, columns=["cell_id", "pidx", "fully_inside"])
+        return cls(poly_ids, all_rings, np.asarray(bounds, dtype=np.float64), c2p, res)
+
+    def candidates(
+        self, xmin: np.ndarray, ymin: np.ndarray, xmax: np.ndarray, ymax: np.ndarray
+    ) -> pd.DataFrame:
+        """Vectorized cell-prefix probe: bboxes -> candidate (row, pidx) pairs
+        with ``n_full`` (count of fully-inside cell hits) and ``n_cells``
+        (total covering cells of the bbox)."""
+        row_idx, cells = grid.bbox_cells_batch(xmin, ymin, xmax, ymax, self.res)
+        probe = pd.DataFrame({"row": row_idx, "cell_id": cells})
+        n_cells = np.bincount(row_idx, minlength=len(xmin))
+        hits = probe.merge(self.cell_to_poly, on="cell_id", how="inner")
+        if hits.empty:
+            return pd.DataFrame(
+                {"row": [], "pidx": [], "n_hit": [], "n_full": [], "n_cells": []}
+            )
+        agg = (
+            hits.groupby(["row", "pidx"], sort=False)
+            .agg(n_hit=("fully_inside", "size"), n_full=("fully_inside", "sum"))
+            .reset_index()
+        )
+        agg["n_cells"] = n_cells[agg["row"].to_numpy()]
+        return agg
+
+
+def assign_tiles_fast(
+    tiles_meta: DataFrame, polygons: DataFrame, res: int
+) -> DataFrame:
+    """Map-only vector→raster tile assignment (positive-area overlap).
+
+    Plan: parquet scan (bytes pruned) -> mapInPandas -> rows. No shuffle.
+    """
+    index = PolygonIndex.build(polygons, res)
+    cols = tiles_meta.select("image_id", "xmin", "ymin", "xmax", "ymax")
+    eps = 1e-3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            xmin = pdf["xmin"].to_numpy()
+            ymin = pdf["ymin"].to_numpy()
+            xmax = pdf["xmax"].to_numpy()
+            ymax = pdf["ymax"].to_numpy()
+            cand = index.candidates(xmin, ymin, xmax, ymax)
+            if cand.empty:
+                continue
+            sure = cand[(cand.n_hit == cand.n_cells) & (cand.n_full == cand.n_hit)]
+            maybe = cand.drop(sure.index)
+            keep = [sure[["row", "pidx"]]]
+            for pidx, g in maybe.groupby("pidx", sort=False):
+                rows = g["row"].to_numpy()
+                rel = geom.rect_relation_batch(
+                    index.rings[pidx],
+                    xmin[rows] + eps,
+                    ymin[rows] + eps,
+                    xmax[rows] - eps,
+                    ymax[rows] - eps,
+                )
+                keep.append(pd.DataFrame({"row": rows[rel > 0], "pidx": pidx}))
+            out = pd.concat(keep, ignore_index=True)
+            ids = np.asarray(index.poly_ids, dtype=object)
+            yield pd.DataFrame(
+                {
+                    "poly_id": ids[out["pidx"].to_numpy(dtype=np.int64)],
+                    "image_id": pdf["image_id"].to_numpy()[out["row"].to_numpy(dtype=np.int64)],
+                }
+            )
+
+    return cols.mapInPandas(run, "poly_id string, image_id string")
+
+
+def zonal_stats_fast(
+    tiles: DataFrame, polygons: DataFrame, species: int | None, res: int
+) -> DataFrame:
+    """Zonal aggregation with a map-side join: decode each tile once, probe
+    the broadcast covering index, PIP only boundary (tile, poly) pairs, emit
+    per-pair partials; one final groupBy.
+
+    ``species=None`` aggregates every layer, grouped by (poly_id, s)."""
+    index = PolygonIndex.build(polygons, res)
+    meta = decode.with_tile_meta(tiles)
+    if species is not None:
+        meta = meta.filter(F.col("s") == species)
+    cols = meta.select(
+        "bytes", "w", "h", "fmt", "s", "tx", "ty", "xmin", "ymin", "xmax", "ymax"
+    )
+    by_species = species is None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            xmin = pdf["xmin"].to_numpy()
+            ymin = pdf["ymin"].to_numpy()
+            xmax = pdf["xmax"].to_numpy()
+            ymax = pdf["ymax"].to_numpy()
+            cand = index.candidates(xmin, ymin, xmax, ymax)
+            if cand.empty:
+                continue
+            out = []
+            arrs: dict[int, np.ndarray] = {}
+            centers: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            for r in cand.itertuples(index=False):
+                i = int(r.row)
+                if i not in arrs:
+                    row = pdf.iloc[i]
+                    arrs[i] = codecs.decode(
+                        row["bytes"], int(row["w"]), int(row["h"]), row["fmt"]
+                    ).astype(np.float64)
+                    cx = X0 + (int(row["tx"]) * int(row["w"]) + np.arange(int(row["w"]))) * PIX + PIX / 2
+                    cy = Y0 - (int(row["ty"]) * int(row["h"]) + np.arange(int(row["h"]))) * PIX - PIX / 2
+                    centers[i] = np.meshgrid(cx, cy)
+                arr = arrs[i]
+                tile_inside = r.n_hit == r.n_cells and r.n_full == r.n_hit
+                if tile_inside:
+                    vals = arr.ravel()
+                else:
+                    gx, gy = centers[i]
+                    mask = geom.points_in_polygon(
+                        gx.ravel(), gy.ravel(), index.rings[int(r.pidx)]
+                    )
+                    if not mask.any():
+                        continue
+                    vals = arr.ravel()[mask]
+                out.append(
+                    (
+                        index.poly_ids[int(r.pidx)],
+                        int(pdf["s"].iloc[i]),
+                        int(vals.size),
+                        float(vals.sum()),
+                        float(vals.max()),
+                        int((vals > 0).sum()),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["poly_id", "s", "n_px", "sum_v", "max_v", "nonzero_px"],
+                )
+
+    part = cols.mapInPandas(
+        run,
+        "poly_id string, s int, n_px long, sum_v double, max_v double, nonzero_px long",
+    )
+    keys = ["poly_id", "s"] if by_species else ["poly_id"]
+    return (
+        part.groupBy(*keys)
+        .agg(
+            F.sum("n_px").alias("n_px"),
+            F.sum("sum_v").alias("sum_v"),
+            F.max("max_v").alias("max_v"),
+            F.sum("nonzero_px").alias("nonzero_px"),
+        )
+        .withColumn("mean_v", F.col("sum_v") / F.col("n_px"))
+    )

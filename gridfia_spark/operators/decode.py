@@ -66,9 +66,10 @@ def with_tile_cells(tiles_meta: DataFrame, res: int = grid.JOIN_RES) -> DataFram
             )
         return pd.Series(out)
 
-    return tiles_meta.withColumn(
-        "cell_id", F.explode(bbox_cells("xmin", "ymin", "xmax", "ymax"))
-    )
+    with_arr = tiles_meta.withColumn(
+        "cells", bbox_cells("xmin", "ymin", "xmax", "ymax")
+    ).withColumn("n_tile_cells", F.size("cells"))
+    return with_arr.withColumn("cell_id", F.explode("cells")).drop("cells")
 
 
 def pixels_long(tiles: DataFrame, species: list[int] | None = None) -> DataFrame:

@@ -131,20 +131,21 @@ def join_tiles_polygons(
     """
     spark = tiles_meta.sparkSession
     pcells = polygon_cells_df(spark, polygons, res)
+    # n_tile_cells rides along as a column (no extra shuffle for the count)
     tcells = decode.with_tile_cells(tiles_meta, res).select(
-        "image_id", "cell_id", "xmin", "ymin", "xmax", "ymax"
+        "image_id", "cell_id", "n_tile_cells", "xmin", "ymin", "xmax", "ymax"
     )
-    n_cells = tcells.groupBy("image_id").agg(F.count("*").alias("n_tile_cells"))
     j = tcells.join(F.broadcast(pcells), "cell_id")
     agg = j.groupBy("image_id", "poly_id").agg(
         F.count("*").alias("n_hit"),
         F.min(F.col("fully_inside").cast("int")).alias("all_full"),
+        F.first("n_tile_cells").alias("n_tile_cells"),
         F.first("xmin").alias("xmin"),
         F.first("ymin").alias("ymin"),
         F.first("xmax").alias("xmax"),
         F.first("ymax").alias("ymax"),
     )
-    out = agg.join(F.broadcast(n_cells), "image_id").withColumn(
+    out = agg.withColumn(
         "tile_inside",
         (F.col("n_hit") == F.col("n_tile_cells")) & (F.col("all_full") == 1),
     )

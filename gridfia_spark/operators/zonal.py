@@ -52,8 +52,11 @@ def zonal_stats(
     res = res if res is not None else grid.JOIN_RES
     meta = decode.with_tile_meta(tiles).filter(F.col("s") == species)
     cand = spatial_join.join_tiles_polygons(meta, polygons, res)
-    pairs = cand.join(
-        meta.select("image_id", "bytes", "w", "h", "fmt", "tx", "ty"), "image_id"
+    # broadcast the (small) candidate-pair side so tile bytes never shuffle —
+    # at 10^12-image scale this is the difference between a map-side join and
+    # moving the whole image table
+    pairs = meta.select("image_id", "bytes", "w", "h", "fmt", "tx", "ty").join(
+        F.broadcast(cand), "image_id"
     ).join(F.broadcast(polygons.select("poly_id", "geom_wkb")), "poly_id")
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -17,7 +17,7 @@ from .constants import SPECIES, spec_for_sf_dir
 from .datagen import oracle_sql as osql
 from .datagen import tiles as tgen
 from .datagen import vectors
-from .operators import decode, knn, metrics, spatial_join, zonal
+from .operators import broadcast_join, decode, knn, metrics, spatial_join, zonal
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
@@ -50,6 +50,16 @@ def _rect_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tgen.polygons_df(spark, sf_dir).filter(F.col("is_rect"))
 
 
+def _join_res(sf_dir: str) -> int:
+    """Join resolution ~2 tile widths: covering cell counts stay O(10^2) per
+    polygon at any dataset extent (see grid.res_for_size)."""
+    from . import grid
+    from .constants import PIX
+
+    spec = spec_for_sf_dir(sf_dir)
+    return grid.res_for_size(spec.tile_w * PIX * 2)
+
+
 # ===================================================================
 # Geospatial engine queries (synthetic tile universe)
 # ===================================================================
@@ -76,7 +86,7 @@ def zonal_total_biomass(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY A19 / M2)."""
     tiles = tgen.ensure_tiles(spark, sf_dir)
     polys = _rect_polys(spark, sf_dir)
-    out = zonal.zonal_stats(tiles, polys, species=0)
+    out = broadcast_join.zonal_stats_fast(tiles, polys, species=0, res=_join_res(sf_dir))
     return out.select(
         "poly_id",
         F.col("n_px").cast("long"),
@@ -103,7 +113,7 @@ def tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = tgen.ensure_tiles(spark, sf_dir)
     meta = decode.with_tile_meta(tiles)
     polys = _rect_polys(spark, sf_dir)
-    return spatial_join.assign_tiles(meta, polys).select("poly_id", "image_id")
+    return broadcast_join.assign_tiles_fast(meta, polys, res=_join_res(sf_dir))
 
 
 def _o_pip(sf_dir: str) -> str:
@@ -122,7 +132,7 @@ def pip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon join via cell-prefix join + ray-casting refinement."""
     pts = tgen.points_df(spark, sf_dir)
     polys = _rect_polys(spark, sf_dir)
-    out = spatial_join.join_points_polygons(pts, polys)
+    out = spatial_join.join_points_polygons(pts, polys, res=_join_res(sf_dir))
     return out.select("point_id", "poly_id")
 
 
