@@ -120,6 +120,8 @@ def species_dominance_global(tiles: DataFrame) -> DataFrame:
     return (
         dom.filter(F.col("dom") > 0)
         .groupBy("dom")
-        .agg((F.count("*") / F.lit(total) * 100.0).alias("dominance_pct"))
+        # count*100/total, in exactly this order — matches the SQL oracle's
+        # float64 op order bit-for-bit
+        .agg((F.count("*") * F.lit(100.0) / F.lit(float(total))).alias("dominance_pct"))
         .withColumnRenamed("dom", "s")
     )

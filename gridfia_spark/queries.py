@@ -287,3 +287,8 @@ def diversity_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("simpson_inv", 6).alias("simpson_inv"),
         F.round("evenness", 6).alias("evenness"),
     )
+
+
+# extended registry (metric extras, relational, text/dedup/similarity) —
+# imported last so its @q registrations land in this module's registry
+from . import queries_ext  # noqa: E402,F401

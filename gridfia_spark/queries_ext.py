@@ -1,0 +1,459 @@
+"""Extended query registry: remaining metric kernels, relational/window
+operators over the driver's TPC-H-ish tables, and the training-data pipeline
+ops (dedup / text analysis / similarity search).
+
+Registered into the same registry as queries.py (imported from there)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .constants import spec_for_sf_dir
+from .datagen import oracle_sql as osql
+from .datagen import tiles as tgen
+from .operators import decode, metrics, similarity, text
+from .queries import q
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===================================================================
+# Remaining metric kernels (SURVEY A7-A9, A13-A16, W1, W2)
+# ===================================================================
+
+
+def _o_proportion(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.val_cte(spec)},
+t AS (
+  SELECT gx, gy,
+         CAST(SUM(v) AS DOUBLE) AS total,
+         CAST(SUM(CASE WHEN s = 2 THEN v ELSE 0 END) AS DOUBLE) AS v2,
+         CAST(SUM(CASE WHEN s IN (1,2) THEN v ELSE 0 END) AS DOUBLE) AS g12
+  FROM val GROUP BY gx, gy
+)
+SELECT gx, gy,
+       ROUND(CASE WHEN total > 0 THEN v2 / total ELSE 0 END, 6) AS prop_s2,
+       ROUND(CASE WHEN total > 0 THEN v2 / total * 100.0 ELSE 0 END, 6) AS pct_s2,
+       ROUND(CASE WHEN total > 0 THEN g12 / total ELSE 0 END, 6) AS prop_grp12
+FROM t"""
+
+
+@q("proportion_pixel", _o_proportion)
+def proportion_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pixel species proportion / percentage / group proportion
+    (SURVEY A7/A8/A9)."""
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    specs = [
+        metrics.MetricSpec("prop_s2", "species_proportion", {"species_index": 2}, "double"),
+        metrics.MetricSpec("pct_s2", "species_percentage", {"species_index": 2}, "double"),
+        metrics.MetricSpec("prop_grp12", "species_group_proportion", {"species_indices": [1, 2]}, "double"),
+    ]
+    out = metrics.metric_layers(tiles, specs)
+    return out.select(
+        "gx", "gy",
+        F.round("prop_s2", 6).alias("prop_s2"),
+        F.round("pct_s2", 6).alias("pct_s2"),
+        F.round("prop_grp12", 6).alias("prop_grp12"),
+    )
+
+
+def _o_rare_common(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.val_cte(spec)},
+freq AS (
+  SELECT s, CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS f
+  FROM val GROUP BY s
+)
+SELECT v.gx AS gx, v.gy AS gy,
+       CAST(SUM(CASE WHEN v.v > 0 AND q.f < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS rare_cnt,
+       CAST(SUM(CASE WHEN v.v > 0 AND q.f >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS common_cnt
+FROM val v JOIN freq q ON v.s = q.s
+GROUP BY v.gx, v.gy"""
+
+
+@q("rare_common_global", _o_rare_common)
+def rare_common_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-scope rare/common species counts (SURVEY A14/A15): two-phase
+    distributed frequency aggregate broadcast into the kernel pass."""
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    return metrics.rare_common_layers(tiles, rare_threshold=0.05, common_threshold=0.5)
+
+
+def _o_dominance(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    n_px = spec.gw * spec.gh
+    return f"""WITH {osql.val_cte(spec)},
+m AS (SELECT gx, gy, MAX(v) AS mx FROM val GROUP BY gx, gy),
+dom AS (
+  SELECT v.gx, v.gy, CASE WHEN m.mx > 0 THEN MIN(v.s) ELSE 0 END AS d
+  FROM val v JOIN m ON v.gx = m.gx AND v.gy = m.gy AND v.v = m.mx
+  GROUP BY v.gx, v.gy, m.mx
+)
+SELECT d AS s, ROUND(COUNT(*) * 100.0 / {n_px}.0, 6) AS dominance_pct
+FROM dom WHERE d > 0 GROUP BY d"""
+
+
+@q("dominance_global", _o_dominance)
+def dominance_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dominance % per species (SURVEY A13, global scope)."""
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    out = metrics.species_dominance_global(tiles)
+    return out.select("s", F.round("dominance_pct", 6).alias("dominance_pct"))
+
+
+def _o_presence_stats(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.val_cte(spec)}
+SELECT s,
+       CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+       ROUND(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 6) AS coverage_pct,
+       ROUND(CAST(SUM(v) AS DOUBLE) / SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END), 6) AS mean_nonzero,
+       CAST(MAX(v) AS DOUBLE) AS max_v
+FROM val GROUP BY s"""
+
+
+@q("species_presence_stats", _o_presence_stats)
+def species_presence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-species presence report (SURVEY A16): count/coverage/mean/max,
+    from per-tile decode partials."""
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    st = decode.decode_stats(tiles).filter(F.col("s") > 0)
+    return st.groupBy("s").agg(
+        F.sum("nonzero").alias("n_present"),
+        F.round(F.sum("nonzero") * 100.0 / F.sum("npx"), 6).alias("coverage_pct"),
+        F.round(F.sum("vsum") / F.sum("nonzero"), 6).alias("mean_nonzero"),
+        F.max("vmax").alias("max_v"),
+    )
+
+
+def _o_top_coverage(sf_dir: str) -> str:
+    return f"""WITH base AS ({_o_presence_stats(sf_dir)})
+SELECT s, coverage_pct FROM base ORDER BY coverage_pct DESC LIMIT 3"""
+
+
+@q("top_species_by_coverage", _o_top_coverage)
+def top_species_by_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k report (SURVEY W1): species ranked by coverage."""
+    return (
+        species_presence_stats(spark, sf_dir)
+        .select("s", "coverage_pct")
+        .orderBy(F.desc("coverage_pct"))
+        .limit(3)
+    )
+
+
+def _o_percentile(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.val_cte(spec)}
+SELECT s, ROUND(quantile_cont(v, 0.02), 6) AS p2, ROUND(quantile_cont(v, 0.98), 6) AS p98
+FROM val GROUP BY s"""
+
+
+@q("percentile_stretch", _o_percentile)
+def percentile_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-98 percentile normalization bounds per species (SURVEY W2,
+    mapper.py:128-158) — exact percentiles, linear interpolation."""
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    px = decode.pixels_long(tiles, species=[1, 2, 3, 4, 5])
+    return (
+        px.groupBy("s")
+        .agg(F.expr("percentile(v, array(0.02, 0.98))").alias("p"))
+        .select(
+            "s",
+            F.round(F.col("p")[0], 6).alias("p2"),
+            F.round(F.col("p")[1], 6).alias("p98"),
+        )
+    )
+
+
+# ===================================================================
+# Relational / window operators over driver tables (SURVEY §2.4-2.6)
+# ===================================================================
+
+
+def _o_tpch_q1(sf_dir: str) -> str:
+    return """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*)::BIGINT AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+@q("tpch_q1", _o_tpch_q1)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (multi-aggregate groupBy)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("n"),
+    )
+
+
+def _o_segment_revenue(sf_dir: str) -> str:
+    return """SELECT c_mktsegment,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*)::BIGINT AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment"""
+
+
+@q("segment_revenue", _o_segment_revenue)
+def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dimension broadcast join + aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def _o_sessions(sf_dir: str) -> str:
+    return """WITH s AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*)::BIGINT AS n_events
+FROM s GROUP BY user_id"""
+
+
+@q("user_sessions", _o_sessions)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag window, 30-min timeout) — the batch
+    form of the streaming session operator."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn(
+        "ns",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return s.groupBy("user_id").agg(
+        F.sum("ns").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def _o_top_event_users(sf_dir: str) -> str:
+    return """WITH c AS (
+  SELECT event_type, user_id, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, n, rk::INT AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rk
+  FROM c
+) WHERE rk <= 3"""
+
+
+@q("top_event_users", _o_top_event_users)
+def top_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k ranking window (SURVEY W1/W4 shape)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "user_id", "n", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+# ===================================================================
+# Training-data pipeline: dedup / text / similarity
+# ===================================================================
+
+
+def _o_dedup_exact(sf_dir: str) -> str:
+    return """SELECT md5(text) AS text_hash, COUNT(*)::BIGINT AS n_docs,
+       MIN(doc_id) AS canonical_id
+FROM documents GROUP BY md5(text)"""
+
+
+@q("dedup_exact", _o_dedup_exact)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy with keep-first canonical id."""
+    return text.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def _o_token_stats(sf_dir: str) -> str:
+    return r"""SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+       ROUND(length(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\s+')), 6) AS chars_per_token,
+       ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text), 6) AS punct_ratio,
+       ROUND(((length(text) - length(replace(text, ' the ', ''))) / 5.0) / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stopword_ratio
+FROM documents"""
+
+
+@q("token_stats", _o_token_stats)
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring over documents."""
+    out = text.token_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_chars", "n_tokens",
+        F.round("chars_per_token", 6).alias("chars_per_token"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+# DuckDB 1.0 can't lateral-join generate_series on a column: cross join a
+# fixed series (docs are <600 chars at every sf; 4096 is a safe bound) and
+# filter by per-doc length.
+_SHINGLE_SERIES = """
+  FROM documents d, generate_series(1, 4096) g(i)
+  WHERE g.i <= greatest(length(d.text) - 4, 1)"""
+
+
+def _o_fingerprint(sf_dir: str) -> str:
+    return f"""SELECT d.doc_id AS doc_id, MIN(md5(substr(d.text, g.i::INT, 5))) AS fingerprint
+{_SHINGLE_SERIES}
+GROUP BY d.doc_id"""
+
+
+@q("doc_fingerprint", _o_fingerprint)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-hash over 5-char shingles (rolling-hash
+    fingerprint family)."""
+    return text.doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _o_ngram_jaccard(sf_dir: str) -> str:
+    return f"""WITH sh AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 5) AS g
+{_SHINGLE_SERIES}
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, ROUND(ni::DOUBLE / (x.n + y.n - ni), 6) AS jaccard
+FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE ni::DOUBLE / (x.n + y.n - ni) >= 0.5"""
+
+
+@q("ngram_jaccard_pairs", _o_ngram_jaccard)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (threshold 0.5)."""
+    return text.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=5, threshold=0.5)
+
+
+@q("minhash_lsh_pairs", None)  # rows-only: LSH banding not SQL-expressible
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, Jaccard-verified (exact output, LSH
+    pruning). Checked against ngram_jaccard_pairs in pytest."""
+    return text.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=5, n_hashes=32, bands=16, threshold=0.5
+    )
+
+
+@q("simhash64", None)  # rows-only
+def simhash64_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document."""
+    return text.simhash64(_t(spark, sf_dir, "documents"))
+
+
+def _o_lang(sf_dir: str) -> str:
+    def cnt(tok: str) -> str:
+        t2 = "' ' || lower(text) || ' '"
+        return f"(length({t2}) - length(replace({t2}, '{tok}', ''))) / {len(tok)}"
+
+    en = " + ".join(cnt(t) for t in [" the ", " and ", " of "])
+    de = " + ".join(cnt(t) for t in [" der ", " und ", " die "])
+    fr = " + ".join(cnt(t) for t in [" le ", " et ", " la "])
+    return f"""SELECT doc_id, lang,
+       CAST({en} AS BIGINT) AS score_en,
+       CAST({de} AS BIGINT) AS score_de,
+       CAST({fr} AS BIGINT) AS score_fr,
+       CASE WHEN ({de}) > ({en}) AND ({de}) >= ({fr}) THEN 'de'
+            WHEN ({fr}) > ({en}) AND ({fr}) > ({de}) THEN 'fr'
+            ELSE 'en' END AS predicted_lang
+FROM documents"""
+
+
+@q("lang_id", _o_lang)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-count language-ID heuristic."""
+    return text.lang_scores(_t(spark, sf_dir, "documents"))
+
+
+def _o_emb_norms(sf_dir: str) -> str:
+    return """SELECT vec_id,
+       ROUND(sqrt(CAST(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS DOUBLE)), 6) AS l2_norm,
+       label
+FROM embeddings"""
+
+
+@q("embedding_norms", _o_emb_norms)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms via built-in array aggregation (JVM-side)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.with_l2_norm(emb).select(
+        "vec_id", F.round("l2_norm", 6).alias("l2_norm"), "label"
+    )
+
+
+def _o_cosine_topk(sf_dir: str) -> str:
+    return """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.vec_id AS q_id, t.vec_id AS t_id,
+         ROUND(
+           CAST(list_sum(list_transform(list_zip(q.embedding::DOUBLE[], t.embedding::DOUBLE[]),
+                                        p -> p[1] * p[2])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(t.embedding::DOUBLE[], x -> x * x)) AS DOUBLE))),
+         6) AS cosine
+  FROM q, embeddings t WHERE t.vec_id <> q.vec_id
+)
+SELECT q_id, rank::INT AS rank, t_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, t_id) AS rank
+  FROM scored
+) WHERE rank <= 5"""
+
+
+@q("cosine_topk", _o_cosine_topk)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (similarity-search baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+@q("ann_cosine_topk", None)  # rows-only: hyperplane LSH not SQL-expressible
+def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH banding + exact re-rank; recall
+    vs brute force measured in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)

@@ -1,0 +1,139 @@
+"""Tests for the training-data pipeline operators (dedup / text / ANN)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gridfia_spark.operators import similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Dup-heavy corpus: exact dups, near-dups (high jaccard), unique docs."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    rows = [
+        (0, base, "src0"),
+        (1, base, "src0"),  # exact dup of 0
+        (2, base + " again", "src1"),  # near dup of 0
+        (3, base.replace("quick", "slow"), "src1"),  # near dup
+        (4, "completely different content about spark dataframes and shuffles", "src2"),
+        (5, "another unrelated document mentioning zonal statistics and rasters", "src2"),
+        (6, base + " extra tail words here", "src0"),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+class TestExactDedup:
+    def test_groups(self, spark, docs):
+        out = {r.canonical_id: r.n_docs for r in text.exact_dedup_groups(docs).collect()}
+        assert out[0] == 2  # docs 0 and 1 identical, canonical = min id
+        assert sum(out.values()) == 7
+
+
+class TestMinhashLSH:
+    def test_matches_bruteforce(self, spark, docs):
+        """LSH-pruned + verified pairs == exact n-gram Jaccard pairs."""
+        exact = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in text.ngram_jaccard_pairs(docs, k=5, threshold=0.5).collect()
+        }
+        lsh = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in text.minhash_lsh_pairs(
+                docs, k=5, n_hashes=32, bands=16, threshold=0.5
+            ).collect()
+        }
+        assert lsh == exact
+        assert (0, 1) in exact and exact[(0, 1)] == 1.0  # exact dup pair
+
+    def test_signature_shape(self, spark, docs):
+        sig = text.minhash_signatures(docs, k=5, n_hashes=16).collect()
+        assert len(sig) == 7
+        assert all(len(r.signature) == 16 for r in sig)
+
+
+class TestSimhash:
+    def test_one_row_per_doc_and_dups_collide(self, spark, docs):
+        out = {r.doc_id: r.simhash for r in text.simhash64(docs).collect()}
+        assert len(out) == 7
+        assert out[0] == out[1]  # identical docs -> identical simhash
+        # near-dup has small hamming distance; unrelated doc large
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        assert ham(out[0], out[2]) < ham(out[0], out[4])
+
+
+class TestLangAndQuality:
+    def test_lang_scores(self, spark):
+        rows = [
+            (0, "the cat and the dog of the house", "en"),
+            (1, "der hund und die katze und der vogel", "de"),
+            (2, "le chat et la maison et le chien", "fr"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = {r.doc_id: r.predicted_lang for r in text.lang_scores(df).collect()}
+        assert out == {0: "en", 1: "de", 2: "fr"}
+
+    def test_token_stats(self, spark):
+        df = spark.createDataFrame(
+            [(0, "hello world, this is fine.")], "doc_id long, text string"
+        )
+        r = text.token_stats(df).first()
+        assert r.n_tokens == 5
+        assert r.n_chars == 26
+        assert r.punct_ratio == pytest.approx(2 / 26)
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((60, 64)).astype(np.float32)
+        vecs[1] = vecs[0] + 0.01 * rng.standard_normal(64).astype(np.float32)  # near-dup
+        pdf = pd.DataFrame(
+            {"vec_id": range(60), "embedding": [v.tolist() for v in vecs]}
+        )
+        return spark.createDataFrame(pdf), vecs
+
+    def test_bruteforce_topk_vs_numpy(self, spark, emb):
+        df, vecs = emb
+        out = similarity.cosine_topk(df.filter(F.col("vec_id") < 5), df, k=3).toPandas()
+        v = vecs.astype(np.float64)
+        norms = np.linalg.norm(v, axis=1)
+        for qi in range(5):
+            cos = (v @ v[qi]) / (norms * norms[qi])
+            cos[qi] = -np.inf
+            order = sorted(
+                ((round(float(cos[j]), 6), -j) for j in range(60)), reverse=True
+            )[:3]
+            mine = out[out.q_id == qi].sort_values("rank")
+            assert [(r.cosine, -r.t_id) for r in mine.itertuples()] == order
+
+    def test_near_dup_is_rank1(self, spark, emb):
+        df, _ = emb
+        out = similarity.cosine_topk(df.filter(F.col("vec_id") == 0), df, k=1).first()
+        assert out.t_id == 1 and out.cosine > 0.99
+
+    def test_ann_recall(self, spark, emb):
+        df, _ = emb
+        exact = similarity.cosine_topk(df.filter(F.col("vec_id") < 10), df, k=5).toPandas()
+        ann = similarity.ann_cosine_topk(
+            df.filter(F.col("vec_id") < 10), df, k=5, n_planes=16, bands=8
+        ).toPandas()
+        e = set(zip(exact.q_id, exact.t_id))
+        a = set(zip(ann.q_id, ann.t_id))
+        recall = len(e & a) / len(e)
+        assert recall >= 0.5  # 8 bands of 2 bits: generous candidate net
+        # the engineered near-dup must always survive LSH
+        assert (0, 1) in a
+
+    def test_embedding_dedup(self, spark, emb):
+        df, _ = emb
+        pairs = similarity.embedding_cosine_dedup(
+            df, threshold=0.95, n_planes=16, bands=8
+        ).collect()
+        assert any(r.vec_a == 0 and r.vec_b == 1 for r in pairs)
