@@ -1,0 +1,197 @@
+"""Sample-level statistics (SURVEY A18/A20/J6/W5): per-sample diversity
+metrics incl. Chao1/ACE, Benjamini-Hochberg FDR, Cliff's delta, group stats.
+
+Numpy kernels re-implement the reference math verbatim
+(/root/reference/gridfia/core/analysis/statistical_analysis.py:86-192,
+309-318, 549-557, 594-616); the distributed forms are grouped pandas
+aggregations (per-sample) and window functions (BH FDR), with Cliff's delta
+as the crossJoin counting form (J6) — the O(n^2) pair comparison the
+reference runs in a ProcessPool.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ------------------------------------------------------------ numpy kernels
+
+
+def richness(counts: np.ndarray) -> float:
+    return float(np.sum(counts > 0))
+
+
+def shannon(counts: np.ndarray) -> float:
+    c = counts[counts > 0]
+    if len(c) == 0:
+        return 0.0
+    p = c / c.sum()
+    return float(-np.sum(p * np.log(p)))
+
+
+def simpson(counts: np.ndarray) -> float:
+    """1 - dominance (statistical_analysis.py:105-117 — note: differs from
+    the raster kernel's inverse-Simpson; both semantics are preserved).
+
+    Computed in the algebraically-identical rational form
+    1 - sum(c^2)/(sum(c))^2: with integer counts both sums are exact, so the
+    result is a single exact float64 division — deterministic across
+    summation orders (numpy pairwise vs SQL sequential)."""
+    total = float(counts.sum())
+    if total == 0:
+        return 0.0
+    return float(1.0 - float((counts * counts).sum()) / (total * total))
+
+
+def evenness(counts: np.ndarray) -> float:
+    s = richness(counts)
+    if s <= 1:
+        return 0.0
+    return shannon(counts) / float(np.log(s))
+
+
+def chao1(counts: np.ndarray) -> float:
+    """statistical_analysis.py:133-152: f1^2/(2 f2) estimator with the
+    no-doubleton fallback."""
+    f1 = float(np.sum(counts == 1))
+    f2 = float(np.sum(counts == 2))
+    obs = richness(counts)
+    if f2 > 0:
+        return obs + f1 * f1 / (2 * f2)
+    if f1 > 0:
+        return obs + f1 * (f1 - 1) / 2
+    return obs
+
+
+def ace(counts: np.ndarray, rare_threshold: int = 10) -> float:
+    """statistical_analysis.py:154-192, verbatim branch structure."""
+    rare = (counts > 0) & (counts <= rare_threshold)
+    n_rare = float(np.sum(rare))
+    n_abund = float(np.sum(counts > rare_threshold))
+    if n_rare == 0:
+        return n_abund
+    f1 = float(np.sum(counts == 1))
+    n_rare_total = float(np.sum(counts[rare]))
+    c_ace = 1 - (f1 / n_rare_total) if n_rare_total > 0 else 1.0
+    if c_ace > 0:
+        i_vals = np.arange(1, rare_threshold + 1)
+        f_vals = np.array([np.sum(counts == i) for i in i_vals])
+        num = float(np.sum(i_vals * (i_vals - 1) * f_vals))
+        den = n_rare_total * (n_rare_total - 1)
+        gamma = max(0.0, (n_rare / c_ace) * (num / den) - 1) if den > 0 else 0.0
+        return n_abund + n_rare / c_ace + (f1 / c_ace) * gamma
+    return n_abund + n_rare
+
+
+# -------------------------------------------------------- distributed forms
+
+
+def sample_diversity(samples: DataFrame) -> DataFrame:
+    """Per-sample diversity metrics from a long table
+    (sample_id, species, count) — grouped pandas aggregation (pUDAF)."""
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf["count"].to_numpy().astype(np.float64)
+        return pd.DataFrame(
+            {
+                "sample_id": [pdf["sample_id"].iloc[0]],
+                "richness": [richness(c)],
+                "shannon": [shannon(c)],
+                "simpson": [simpson(c)],
+                "evenness": [evenness(c)],
+                "chao1": [chao1(c)],
+                "ace": [ace(c)],
+            }
+        )
+
+    return samples.groupBy("sample_id").applyInPandas(
+        agg,
+        "sample_id string, richness double, shannon double, simpson double, "
+        "evenness double, chao1 double, ace double",
+    )
+
+
+def sample_diversity_expr(samples: DataFrame) -> DataFrame:
+    """Per-sample richness/shannon/simpson/evenness/chao1 in pure built-in
+    expressions (whole-stage codegen; no Python) — the fast path for the
+    metrics that don't need the pUDAF (ACE stays in sample_diversity).
+    Simpson uses the exact rational form (see ``simpson``)."""
+    tot = samples.groupBy("sample_id").agg(F.sum("count").alias("tot"))
+    c = F.col("count")
+    t = F.col("tot")
+    per = (
+        samples.join(tot, "sample_id")
+        .groupBy("sample_id")
+        .agg(
+            F.sum((c > 0).cast("int")).cast("double").alias("obs"),
+            F.sum((c == 1).cast("int")).cast("double").alias("f1"),
+            F.sum((c == 2).cast("int")).cast("double").alias("f2"),
+            F.sum(F.when(c > 0, -(c / t) * F.log(c / t)).otherwise(0.0)).alias("sh"),
+            (F.sum(c * c) / (F.max(t) * F.max(t))).alias("dom"),
+        )
+    )
+    return per.select(
+        "sample_id",
+        F.col("obs").alias("richness"),
+        F.col("sh").alias("shannon"),
+        (F.lit(1.0) - F.col("dom")).alias("simpson"),
+        F.when(F.col("obs") > 1, F.col("sh") / F.log("obs")).otherwise(0.0).alias("evenness"),
+        (
+            F.col("obs")
+            + F.when(F.col("f2") > 0, F.col("f1") * F.col("f1") / (2 * F.col("f2")))
+            .when(F.col("f1") > 0, F.col("f1") * (F.col("f1") - 1) / 2)
+            .otherwise(0.0)
+        ).alias("chao1"),
+    )
+
+
+def bh_fdr(pvals: DataFrame, p_col: str = "p", id_col: str = "test_id") -> DataFrame:
+    """Benjamini-Hochberg correction as window ops (SURVEY W5): sort by p,
+    adj = min(1, p*n/rank), reverse running min, original order preserved via
+    id. Matches statistical_analysis.py:594-616."""
+    n = pvals.count()
+    w_rank = Window.orderBy(F.col(p_col), F.col(id_col))
+    w_rev = Window.orderBy(F.col(p_col), F.col(id_col)).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return (
+        pvals.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("adj0", F.least(F.lit(1.0), F.col(p_col) * n / F.col("rk")))
+        .withColumn("p_adj", F.min("adj0").over(w_rev))
+        .select(id_col, p_col, "p_adj")
+    )
+
+
+def cliffs_delta(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Cliff's delta between the two groups of ``group_col`` via the crossJoin
+    counting form (statistical_analysis.py:549-557): delta =
+    (#(a>b) - #(a<b)) / (n1*n2)."""
+    groups = [r[0] for r in df.select(group_col).distinct().orderBy(group_col).collect()]
+    if len(groups) != 2:
+        raise ValueError(f"cliffs_delta needs exactly 2 groups, got {groups}")
+    a = df.filter(F.col(group_col) == groups[0]).select(F.col(value_col).alias("va"))
+    b = df.filter(F.col(group_col) == groups[1]).select(F.col(value_col).alias("vb"))
+    pairs = a.crossJoin(F.broadcast(b))
+    agg = pairs.agg(
+        F.sum((F.col("va") > F.col("vb")).cast("long")).alias("gt"),
+        F.sum((F.col("va") < F.col("vb")).cast("long")).alias("lt"),
+        F.count("*").alias("n_pairs"),
+    ).first()
+    delta = (agg.gt - agg.lt) / agg.n_pairs
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(groups[0], groups[1], float(delta), int(agg.n_pairs))],
+        "group_a string, group_b string, delta double, n_pairs long",
+    )
+
+
+def group_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Descriptive stats per group (A20): mean/std/n."""
+    return df.groupBy(group_col).agg(
+        F.avg(value_col).alias("mean_v"),
+        F.stddev(value_col).alias("std_v"),
+        F.count("*").alias("n"),
+    )

@@ -146,22 +146,13 @@ def assign_tiles_fast(
     return cols.mapInPandas(run, "poly_id string, image_id string")
 
 
-def zonal_stats_fast(
-    tiles: DataFrame, polygons: DataFrame, species: int | None, res: int
-) -> DataFrame:
-    """Zonal aggregation with a map-side join: decode each tile once, probe
-    the broadcast covering index, PIP only boundary (tile, poly) pairs, emit
-    per-pair partials; one final groupBy.
-
-    ``species=None`` aggregates every layer, grouped by (poly_id, s)."""
-    index = PolygonIndex.build(polygons, res)
-    meta = decode.with_tile_meta(tiles)
-    if species is not None:
-        meta = meta.filter(F.col("s") == species)
+def _zonal_partials(meta: DataFrame, index: PolygonIndex) -> DataFrame:
+    """Per-(tile, poly, species) zonal partial aggregates — the map stage
+    shared by the batch path (zonal_stats_fast) and the streaming path
+    (streaming/incremental.py)."""
     cols = meta.select(
         "bytes", "w", "h", "fmt", "s", "tx", "ty", "xmin", "ymin", "xmax", "ymax"
     )
-    by_species = species is None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -215,11 +206,26 @@ def zonal_stats_fast(
                     columns=["poly_id", "s", "n_px", "sum_v", "max_v", "nonzero_px"],
                 )
 
-    part = cols.mapInPandas(
+    return cols.mapInPandas(
         run,
         "poly_id string, s int, n_px long, sum_v double, max_v double, nonzero_px long",
     )
-    keys = ["poly_id", "s"] if by_species else ["poly_id"]
+
+
+def zonal_stats_fast(
+    tiles: DataFrame, polygons: DataFrame, species: int | None, res: int
+) -> DataFrame:
+    """Zonal aggregation with a map-side join: decode each tile once, probe
+    the broadcast covering index, PIP only boundary (tile, poly) pairs, emit
+    per-pair partials; one final groupBy.
+
+    ``species=None`` aggregates every layer, grouped by (poly_id, s)."""
+    index = PolygonIndex.build(polygons, res)
+    meta = decode.with_tile_meta(tiles)
+    if species is not None:
+        meta = meta.filter(F.col("s") == species)
+    part = _zonal_partials(meta, index)
+    keys = ["poly_id", "s"] if species is None else ["poly_id"]
     return (
         part.groupBy(*keys)
         .agg(

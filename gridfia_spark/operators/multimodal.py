@@ -1,0 +1,137 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary + typed
+metadata, processed by Arrow-batched UDFs.
+
+The Spark-side machinery (schemas, partitioning, UDF signatures, batch
+shapes) is real and tested; actual media codecs (PNG/JPEG/MP3/H.264) are
+STUBBED behind ``NotImplementedError`` because the sandbox ships no media
+libraries — drop PIL/ffmpeg into ``_MEDIA_DECODERS`` and everything else
+works unchanged. The engine's own raster codecs double as the working
+"image" format, and a deterministic fake decoder supports tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .. import codecs
+
+MEDIA_SCHEMA = (
+    "media_id string, bytes binary, media_type string, fmt string, "
+    "w int, h int, n_frames int, sample_rate int, caption string"
+)
+
+
+def _decode_media(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """Single-frame decode -> (h, w) float32. Real codecs are stubs."""
+    if fmt in codecs.ALL_FMTS:
+        return codecs.decode(data, w, h, fmt)
+    if fmt == "fake64":
+        # deterministic fake: bytes -> seeded pattern (tests the plumbing)
+        seed = int.from_bytes(data[:8].ljust(8, b"\0"), "little") % (2**31)
+        gy, gx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        return (((gx * 31 + gy * 17 + seed) % 251)).astype(np.float32)
+    if fmt in ("png", "jpeg", "webp", "mp3", "wav", "h264"):
+        raise NotImplementedError(
+            f"media codec {fmt!r} needs PIL/ffmpeg (not in this sandbox); "
+            "register a decoder in multimodal._MEDIA_DECODERS"
+        )
+    raise ValueError(f"unknown media fmt {fmt!r}")
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode + per-frame feature extraction (mean/std/entropy-proxy/edges)
+    in one ``mapInPandas`` pass — the image-pipeline analogue of the metric
+    kernels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if int(r.n_frames) > 1:
+                    # multi-frame media: features over the first frame
+                    arr = np.frombuffer(r.bytes, dtype="<f4").reshape(
+                        int(r.n_frames), int(r.h), int(r.w)
+                    )[0]
+                else:
+                    arr = _decode_media(r.bytes, r.fmt, int(r.w), int(r.h))
+                gx = np.abs(np.diff(arr, axis=1)).mean() if arr.shape[1] > 1 else 0.0
+                gy = np.abs(np.diff(arr, axis=0)).mean() if arr.shape[0] > 1 else 0.0
+                out.append(
+                    (
+                        r.media_id,
+                        float(arr.mean()),
+                        float(arr.std()),
+                        float(arr.min()),
+                        float(arr.max()),
+                        float(gx + gy),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "mean_v", "std_v", "min_v", "max_v", "edge_energy"],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id string, mean_v double, std_v double, min_v double, "
+        "max_v double, edge_energy double",
+    )
+
+
+def resize(media: DataFrame, out_w: int, out_h: int, fmt: str = "raw32") -> DataFrame:
+    """Block-mean resize (integer factors) of each frame, re-encoded — the
+    thumbnailing stage of an image pipeline."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode_media(r.bytes, r.fmt, int(r.w), int(r.h))
+                fy, fx = max(arr.shape[0] // out_h, 1), max(arr.shape[1] // out_w, 1)
+                clipped = arr[: out_h * fy, : out_w * fx]
+                small = clipped.reshape(out_h, fy, out_w, fx).mean(axis=(1, 3))
+                out.append(
+                    (r.media_id, codecs.encode(small.astype(np.float32), fmt), out_w, out_h, fmt)
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "bytes", "w", "h", "fmt"]
+            )
+
+    return media.mapInPandas(
+        run, "media_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+def sample_frames(media: DataFrame, every_k: int = 2, fmt: str = "raw32") -> DataFrame:
+    """Frame sampling for 'video' rows: bytes hold n_frames stacked raw32
+    frames; emit every k-th frame as its own image row (explode pattern)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                n = int(r.n_frames)
+                w, h = int(r.w), int(r.h)
+                frames = np.frombuffer(r.bytes, dtype="<f4").reshape(n, h, w)
+                for fi in range(0, n, every_k):
+                    out.append(
+                        (
+                            f"{r.media_id}_f{fi:04d}",
+                            codecs.encode(frames[fi], fmt),
+                            w,
+                            h,
+                            fmt,
+                            fi,
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "bytes", "w", "h", "fmt", "frame_idx"]
+            )
+
+    return media.filter("media_type = 'video'").mapInPandas(
+        run, "media_id string, bytes binary, w int, h int, fmt string, frame_idx int"
+    )

@@ -457,3 +457,53 @@ def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs brute force measured in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ann_cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+def _o_sample_diversity(sf_dir: str) -> str:
+    return """WITH counts AS (
+  SELECT l_orderkey::VARCHAR AS sample_id, l_partkey, CAST(SUM(l_quantity) AS DOUBLE) AS c
+  FROM lineitem GROUP BY l_orderkey, l_partkey
+),
+tot AS (SELECT sample_id, SUM(c) AS tot FROM counts GROUP BY sample_id),
+per AS (
+  SELECT c.sample_id,
+         CAST(SUM(CASE WHEN c.c > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS obs,
+         SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END)::DOUBLE AS f1,
+         SUM(CASE WHEN c.c = 2 THEN 1 ELSE 0 END)::DOUBLE AS f2,
+         SUM(CASE WHEN c.c > 0 THEN -(c.c / t.tot) * ln(c.c / t.tot) ELSE 0 END) AS sh,
+         -- rational form: exact integer sums -> one exact division
+         SUM(c.c * c.c) / (MAX(t.tot) * MAX(t.tot)) AS dom
+  FROM counts c JOIN tot t ON c.sample_id = t.sample_id
+  GROUP BY c.sample_id
+)
+SELECT sample_id,
+       obs AS richness,
+       ROUND(sh, 6) AS shannon,
+       ROUND(1.0 - dom, 6) AS simpson,
+       ROUND(CASE WHEN obs > 1 THEN sh / ln(obs) ELSE 0 END, 6) AS evenness,
+       ROUND(obs + CASE WHEN f2 > 0 THEN f1 * f1 / (2 * f2)
+                        WHEN f1 > 0 THEN f1 * (f1 - 1) / 2
+                        ELSE 0 END, 6) AS chao1
+FROM per"""
+
+
+@q("sample_diversity", _o_sample_diversity)
+def sample_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-level diversity incl. Chao1 (SURVEY A18) — each order is a
+    'sample', parts are 'species', quantities are counts."""
+    from .functions import sample_stats as ss
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        F.col("l_orderkey").cast("string").alias("sample_id"),
+        F.col("l_partkey").alias("species"),
+    ).agg(F.sum("l_quantity").cast("double").alias("count"))
+    out = ss.sample_diversity_expr(counts)
+    return out.select(
+        "sample_id",
+        "richness",
+        F.round("shannon", 6).alias("shannon"),
+        F.round("simpson", 6).alias("simpson"),
+        F.round("evenness", 6).alias("evenness"),
+        F.round("chao1", 6).alias("chao1"),
+    )
