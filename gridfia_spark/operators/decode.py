@@ -114,6 +114,44 @@ def pixels_long(tiles: DataFrame, species: list[int] | None = None) -> DataFrame
     ).withColumn("y", F.lit(Y0) - F.col("gy") * F.lit(PIX) - F.lit(PIX / 2))
 
 
+def point_lookup(points: DataFrame, tiles: DataFrame, species: int = 0) -> DataFrame:
+    """Biomass value at each point — the identify/point-lookup source
+    (fia_client.py:608-662 recast): point -> pixel coords via the affine
+    (JVM exprs) -> equi-join on tile coords (only the needed tiles decode)
+    -> vectorized per-tile pixel gather."""
+    meta = with_tile_meta(tiles).filter(F.col("s") == species)
+    # tile coords need the tile size; take it from the (single) tile dims
+    dims = meta.select("w", "h").first()
+    tw, th = int(dims.w), int(dims.h)
+    pts = (
+        points.select(
+            "point_id",
+            F.floor((F.col("x") - F.lit(X0)) / F.lit(PIX)).cast("long").alias("gx"),
+            F.floor((F.lit(Y0) - F.col("y")) / F.lit(PIX)).cast("long").alias("gy"),
+        )
+        .withColumn("tx", (F.col("gx") / tw).cast("int"))
+        .withColumn("ty", (F.col("gy") / th).cast("int"))
+    )
+    joined = meta.select("bytes", "w", "h", "fmt", "tx", "ty").join(
+        F.broadcast(pts), ["tx", "ty"]
+    )
+
+    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for (tx, ty), g in pdf.groupby(["tx", "ty"], sort=False):
+                row = g.iloc[0]
+                arr = codecs.decode(row["bytes"], int(row["w"]), int(row["h"]), row["fmt"])
+                py = (g["gy"] - ty * int(row["h"])).to_numpy()
+                px = (g["gx"] - tx * int(row["w"])).to_numpy()
+                vals = arr[py, px].astype(np.float64)
+                out.append(pd.DataFrame({"point_id": g["point_id"].to_numpy(), "v": vals}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return joined.mapInPandas(gather, "point_id long, v double")
+
+
 def decode_stats(tiles: DataFrame) -> DataFrame:
     """Per-tile decode validation + basic stats (min/max/mean/nonzero) — the
     analogue of the remote computeStatistics source (fia_client.py:580-606)."""

@@ -507,3 +507,118 @@ def sample_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("evenness", 6).alias("evenness"),
         F.round("chao1", 6).alias("chao1"),
     )
+
+
+def _o_point_lookup(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1][2:]
+    from .datagen import vectors
+
+    n = vectors.N_POINTS.get(sf, 200)
+    return f"""WITH {osql.total_cte(spec)},
+{osql.points_cte(spec, n)}
+SELECT p.point_id AS point_id, CAST(t.v AS DOUBLE) AS v
+FROM points p JOIN total t
+  ON t.gx = CAST(floor((p.x - {-2000000.0!r}) / 30.0) AS BIGINT)
+ AND t.gy = CAST(floor(({-900000.0!r} - p.y) / 30.0) AS BIGINT)"""
+
+
+@q("point_biomass_lookup", _o_point_lookup)
+def point_biomass_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point value lookup (SURVEY S9 / identify_pixel_value): decode only
+    the tiles containing query points."""
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    pts = tgen.points_df(spark, sf_dir)
+    return decode.point_lookup(pts, tiles, species=0)
+
+
+def _o_bh_fdr(sf_dir: str) -> str:
+    return """WITH pv AS (
+  SELECT doc_id::VARCHAR AS test_id, ((doc_id * 7919 + 13) % 997) / 997.0 AS p
+  FROM documents
+),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p, test_id) AS rk, COUNT(*) OVER () AS n FROM pv),
+a AS (SELECT *, least(1.0, p * n / rk) AS adj0 FROM r)
+SELECT test_id, p,
+       ROUND(MIN(adj0) OVER (ORDER BY p, test_id
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS p_adj
+FROM a"""
+
+
+@q("bh_fdr", _o_bh_fdr)
+def bh_fdr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (SURVEY W5) over deterministic
+    synthetic p-values."""
+    from .functions import sample_stats as ss
+
+    docs = _t(spark, sf_dir, "documents")
+    pv = docs.select(
+        F.col("doc_id").cast("string").alias("test_id"),
+        (((F.col("doc_id") * 7919 + 13) % 997) / 997.0).alias("p"),
+    )
+    out = ss.bh_fdr(pv)
+    return out.select("test_id", "p", F.round("p_adj", 6).alias("p_adj"))
+
+
+def _o_cliffs(sf_dir: str) -> str:
+    return """WITH v AS (
+  SELECT l_returnflag AS g, l_quantity AS q FROM lineitem
+  WHERE l_orderkey < 400 AND l_returnflag <> 'N'
+)
+SELECT 'A' AS group_a, 'R' AS group_b,
+       (SUM(CASE WHEN a.q > b.q THEN 1 ELSE 0 END)
+        - SUM(CASE WHEN a.q < b.q THEN 1 ELSE 0 END)) / COUNT(*)::DOUBLE AS delta,
+       COUNT(*)::BIGINT AS n_pairs
+FROM (SELECT q FROM v WHERE g = 'A') a, (SELECT q FROM v WHERE g = 'R') b"""
+
+
+@q("cliffs_delta", _o_cliffs)
+def cliffs_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta effect size via crossJoin pair counting (SURVEY J6)."""
+    from .functions import sample_stats as ss
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") < 400) & (F.col("l_returnflag") != "N")
+    )
+    return ss.cliffs_delta(
+        li.select(F.col("l_returnflag").alias("g"), F.col("l_quantity").alias("q")),
+        "g",
+        "q",
+    )
+
+
+def _o_rare_common_tile(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    return f"""WITH {osql.val_cte(spec)},
+freq AS (
+  SELECT s, gx // {tw} AS tx, gy // {th} AS ty,
+         CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS f
+  FROM val GROUP BY s, gx // {tw}, gy // {th}
+)
+SELECT v.gx AS gx, v.gy AS gy,
+       CAST(SUM(CASE WHEN v.v > 0 AND q.f < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS rare_cnt,
+       CAST(SUM(CASE WHEN v.v > 0 AND q.f >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS common_cnt
+FROM val v JOIN freq q
+  ON v.s = q.s AND v.gx // {tw} = q.tx AND v.gy // {th} = q.ty
+GROUP BY v.gx, v.gy"""
+
+
+@q("rare_common_tile_scope", _o_rare_common_tile)
+def rare_common_tile_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile-scope rare/common (SURVEY §3.1: the reference computes
+    occurrence frequencies per CHUNK — this mode matches it bit-for-bit;
+    rare_common_global is the distributed-global variant)."""
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    specs = [
+        metrics.MetricSpec("rare_cnt", "rare_species", {"occurrence_threshold": 0.05}, "long"),
+        metrics.MetricSpec("common_cnt", "common_species", {"occurrence_threshold": 0.5}, "long"),
+    ]
+    return metrics.metric_layers(tiles, specs)
+
+
+@q("embedding_cosine_dedup", None)  # rows-only (hyperplane LSH)
+def embedding_cosine_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= 0.9 after LSH candidates)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_cosine_dedup(emb, threshold=0.9, n_planes=16, bands=8)
