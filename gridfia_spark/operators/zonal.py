@@ -33,6 +33,62 @@ from ..constants import PIX, X0, Y0
 from . import decode, spatial_join
 
 
+def clip_to_polygon(
+    tiles: DataFrame,
+    polygons: DataFrame,
+    poly_id: str,
+    species: int = 0,
+    res: int | None = None,
+    fmt: str = "rawz",
+) -> DataFrame:
+    """Boundary clip (SURVEY J3, boundaries.py:392-425 recast): zero out
+    pixels outside the polygon and re-encode — returns tile rows covering
+    the polygon only (tiles with no overlap are dropped)."""
+    from .. import grid as _grid
+    from ..constants import caption as mk_caption
+
+    res = res if res is not None else _grid.JOIN_RES
+    one = polygons.filter(F.col("poly_id") == poly_id)
+    meta = decode.with_tile_meta(tiles).filter(F.col("s") == species)
+    cand = spatial_join.join_tiles_polygons(meta, one, res)
+    pairs = meta.select(
+        "image_id", "bytes", "w", "h", "fmt", "code", "name", "tx", "ty"
+    ).join(F.broadcast(cand.select("image_id", "tile_inside")), "image_id").join(
+        F.broadcast(one.select("geom_wkb")),
+        F.lit(True),
+    )
+
+    def clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+            for row in pdf.itertuples(index=False):
+                arr = codecs.decode(row.bytes, row.w, row.h, row.fmt)
+                if not row.tile_inside:
+                    cx = X0 + (row.tx * row.w + np.arange(row.w)) * PIX + PIX / 2
+                    cy = Y0 - (row.ty * row.h + np.arange(row.h)) * PIX - PIX / 2
+                    gx, gy = np.meshgrid(cx, cy)
+                    rings = geom.wkb_to_polygon(bytes(row.geom_wkb))
+                    mask = geom.points_in_polygon(gx.ravel(), gy.ravel(), rings)
+                    if not mask.any():
+                        continue  # cell-candidate false positive: no overlap
+                    arr = np.where(mask.reshape(arr.shape), arr, 0.0).astype(np.float32)
+                from ..datagen import pixels as pxgen
+
+                out["image_id"].append(row.image_id)
+                out["bytes"].append(codecs.encode(arr, fmt))
+                out["w"].append(row.w)
+                out["h"].append(row.h)
+                out["fmt"].append(fmt)
+                out["caption"].append(mk_caption(row.code, row.name, row.tx, row.ty))
+                out["phash"].append(pxgen.phash64(arr))
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    from ..datagen.tiles import TILE_SCHEMA
+
+    return pairs.mapInPandas(clip, TILE_SCHEMA)
+
+
 def zonal_stats(
     tiles: DataFrame,
     polygons: DataFrame,

@@ -622,3 +622,99 @@ def embedding_cosine_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.9 after LSH candidates)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_cosine_dedup(emb, threshold=0.9, n_planes=16, bands=8)
+
+
+def _o_morans(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    return f"""WITH {osql.val_cte(spec)},
+tilev AS (
+  SELECT gx // {tw} AS tx, gy // {th} AS ty, CAST(SUM(v) AS DOUBLE) AS x
+  FROM val GROUP BY gx // {tw}, gy // {th}
+),
+st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(x) AS m FROM tilev),
+zt AS (SELECT tx, ty, x - (SELECT m FROM st) AS z FROM tilev),
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+nbp AS (
+  SELECT a.tx, a.ty, b.tx AS ntx, b.ty AS nty, a.z AS zi, b.z AS zj
+  FROM zt a CROSS JOIN offs o JOIN zt b
+    ON b.tx = a.tx + o.dx AND b.ty = a.ty + o.dy
+),
+deg AS (SELECT tx, ty, COUNT(*)::DOUBLE AS k FROM nbp GROUP BY tx, ty),
+wk AS (
+  SELECT p.*, di.k AS k, dj.k AS kj
+  FROM nbp p JOIN deg di ON p.tx = di.tx AND p.ty = di.ty
+             JOIN deg dj ON p.ntx = dj.tx AND p.nty = dj.ty
+),
+terms AS (
+  SELECT SUM(zi * zj / k) AS num, SUM(1.0 / k) AS s0,
+         SUM((1.0 / k + 1.0 / kj) * (1.0 / k + 1.0 / kj)) * 0.5 AS s1
+  FROM wk
+),
+cs AS (SELECT tx, ty, SUM(1.0 / kj) AS colsum FROM wk GROUP BY tx, ty),
+s2t AS (SELECT SUM((1.0 + colsum) * (1.0 + colsum)) AS s2 FROM cs),
+den AS (SELECT SUM(z * z) AS denom FROM zt),
+fin AS (
+  SELECT (st.n / t.s0) * t.num / d.denom AS i,
+         -1.0 / (st.n - 1) AS ei,
+         (st.n * st.n * t.s1 - st.n * s2t.s2 + 3 * t.s0 * t.s0)
+           / ((st.n * st.n - 1) * t.s0 * t.s0)
+           - (-1.0 / (st.n - 1)) * (-1.0 / (st.n - 1)) AS vi
+  FROM st, terms t, s2t, den d
+)
+SELECT ROUND(i, 6) AS morans_i, ROUND(ei, 6) AS expected_i,
+       ROUND(vi, 6) AS variance_i, ROUND((i - ei) / sqrt(vi), 6) AS z_score
+FROM fin"""
+
+
+@q("morans_i", _o_morans)
+def morans_i_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I of per-tile total biomass (spatial autocorrelation,
+    statistical_analysis.py:619-658; Queen weights, row-standardized)."""
+    from .functions import spatial_stats
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    st = decode.decode_stats(tiles).filter(F.col("s") == 0)
+    units = st.select(
+        F.regexp_extract("image_id", r"_tx(\d+)_", 1).cast("int").alias("tx"),
+        F.regexp_extract("image_id", r"_ty(\d+)$", 1).cast("int").alias("ty"),
+        F.col("vsum").alias("value"),
+    )
+    r = spatial_stats.morans_i(units)
+    return spark.createDataFrame(
+        [(round(r["morans_i"], 6), round(r["expected_i"], 6),
+          round(r["variance_i"], 6), round(r["z_score"], 6))],
+        "morans_i double, expected_i double, variance_i double, z_score double",
+    )
+
+
+def _o_clip(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    from .datagen import vectors
+
+    c11 = next(p for p in vectors.county_grid(spec) if p.poly_id == "C11")
+    xmin, ymin, xmax, ymax = c11.bounds
+    return f"""WITH {osql.total_cte(spec)}
+SELECT printf('sp0000_tx%03d_ty%03d', (gx // {tw})::INT, (gy // {th})::INT) AS image_id,
+       CAST(SUM(CASE WHEN x > {xmin!r} AND x < {xmax!r}
+                      AND y > {ymin!r} AND y < {ymax!r} THEN v ELSE 0 END) AS DOUBLE) AS vsum,
+       CAST(SUM(CASE WHEN x > {xmin!r} AND x < {xmax!r}
+                      AND y > {ymin!r} AND y < {ymax!r} AND v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero
+FROM total
+GROUP BY gx // {tw}, gy // {th}
+HAVING SUM(CASE WHEN x > {xmin!r} AND x < {xmax!r}
+                 AND y > {ymin!r} AND y < {ymax!r} THEN 1 ELSE 0 END) > 0"""
+
+
+@q("clip_tile_sums", _o_clip)
+def clip_tile_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary clip to county C11 (SURVEY J3): clipped tile rows ->
+    per-tile stats of the clipped raster."""
+    from .operators import zonal
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    polys = tgen.polygons_df(spark, sf_dir)
+    clipped = zonal.clip_to_polygon(tiles, polys, "C11", species=0)
+    st = decode.decode_stats(clipped)
+    return st.select("image_id", "vsum", "nonzero")

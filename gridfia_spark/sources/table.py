@@ -1,0 +1,92 @@
+"""Iceberg-first table layer with a Parquet fallback.
+
+The north rule targets Iceberg tables of image+caption rows. This sandbox
+ships no Iceberg runtime jar, so the module selects the best available
+backend at runtime:
+
+- **Iceberg** (cluster): catalog configured via the standard confs below;
+  writes use ``writeTo(...).createOrReplace()`` / ``append()``; snapshots
+  give the resumability anchor (plans/lineage.py maps partition commits to
+  ``snapshot_id``); min/max pruning on the ``cell_id``-sorted layout gives
+  the pushdown-through-decode behavior (SURVEY §4 item 1).
+- **Parquet** (sandbox): identical schema/layout on a path; the partition
+  transform below is emulated by a bucket column.
+
+Cluster session confs (spark-submit --conf ...):
+    spark.sql.catalog.grid=org.apache.iceberg.spark.SparkCatalog
+    spark.sql.catalog.grid.type=hadoop
+    spark.sql.catalog.grid.warehouse=<path>
+    spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions
+
+Table DDL (executed once on the cluster):
+    CREATE TABLE grid.db.tiles (
+        image_id string, bytes binary, w int, h int, fmt string,
+        caption string, phash bigint,
+        species_code string, tile_x int, tile_y int, cell_id bigint)
+    USING iceberg
+    PARTITIONED BY (species_code, bucket(64, image_id))
+    TBLPROPERTIES ('write.distribution-mode'='hash',
+                   'sort-order'='cell_id ASC')
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return spark.conf.get("spark.sql.catalog.grid", None) is not None
+    except Exception:  # noqa: BLE001 — jar not on classpath
+        return False
+
+
+def enriched_tiles(tiles: DataFrame, join_res: int = 15) -> DataFrame:
+    """Tile rows + layout columns (species_code, tile_x/y, cell_id) — the
+    physical sort/partition keys that make file pruning fire."""
+    from ..operators import decode
+
+    meta = decode.with_tile_meta(tiles)
+    center_cell = meta  # cell of the tile centroid at join_res
+    import pandas as pd
+
+    from .. import grid
+
+    @F.pandas_udf("long")
+    def centroid_cell(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        cx = (xmin.to_numpy() + xmax.to_numpy()) / 2
+        cy = (ymin.to_numpy() + ymax.to_numpy()) / 2
+        return pd.Series(grid.cell_of_xy(cx, cy, join_res))
+
+    return center_cell.select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+        F.col("code").alias("species_code"),
+        F.col("tx").alias("tile_x"),
+        F.col("ty").alias("tile_y"),
+        centroid_cell("xmin", "ymin", "xmax", "ymax").alias("cell_id"),
+    )
+
+
+def write_tiles(tiles: DataFrame, target: str, join_res: int = 15) -> str:
+    """Write the tile table to Iceberg (if available) or layout-equivalent
+    Parquet. Returns the backend used."""
+    spark = tiles.sparkSession
+    df = enriched_tiles(tiles, join_res).sortWithinPartitions("cell_id")
+    if iceberg_available(spark):
+        df.writeTo(target).createOrReplace()
+        return "iceberg"
+    df.withColumn("bucket", F.abs(F.xxhash64("image_id")) % 64).write.mode(
+        "overwrite"
+    ).partitionBy("species_code").parquet(target)
+    return "parquet"
+
+
+def read_tiles(spark: SparkSession, target: str) -> DataFrame:
+    """Read back the canonical 7 columns from either backend."""
+    if iceberg_available(spark):
+        df = spark.read.table(target)
+    else:
+        df = spark.read.parquet(target)
+    return df.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")

@@ -93,3 +93,57 @@ class TestExprVariant:
         for k in a:
             for col in ("richness", "shannon", "simpson", "evenness", "chao1"):
                 assert getattr(a[k], col) == pytest.approx(getattr(b[k], col)), (k, col)
+
+
+class TestMoransI:
+    def _numpy_moran(self, grid):
+        """Hand implementation: queen weights, row-standardized, normality."""
+        import math
+        import numpy as np
+
+        h, w = grid.shape
+        coords = [(i, j) for i in range(h) for j in range(w)]
+        idx = {c: k for k, c in enumerate(coords)}
+        n = len(coords)
+        x = np.array([grid[c] for c in coords], dtype=float)
+        z = x - x.mean()
+        W = np.zeros((n, n))
+        for (i, j), k in idx.items():
+            nbrs = [
+                (i + di, j + dj)
+                for di in (-1, 0, 1)
+                for dj in (-1, 0, 1)
+                if (di, dj) != (0, 0) and (i + di, j + dj) in idx
+            ]
+            for c in nbrs:
+                W[k, idx[c]] = 1.0 / len(nbrs)
+        s0 = W.sum()
+        I = (n / s0) * (z @ W @ z) / (z @ z)
+        ei = -1.0 / (n - 1)
+        s1 = 0.5 * ((W + W.T) ** 2).sum()
+        s2 = ((W.sum(axis=1) + W.sum(axis=0)) ** 2).sum()
+        vi = (n * n * s1 - n * s2 + 3 * s0 * s0) / ((n * n - 1) * s0 * s0) - ei * ei
+        zs = (I - ei) / math.sqrt(vi)
+        return I, ei, vi, zs
+
+    def test_vs_numpy(self, spark):
+        import numpy as np
+
+        from gridfia_spark.functions import spatial_stats
+
+        rng = np.random.default_rng(11)
+        grid = rng.uniform(0, 100, (4, 5))
+        grid[:2, :2] += 200  # a hot cluster -> positive autocorrelation
+        rows = [
+            (int(tx), int(ty), float(grid[ty, tx]))
+            for ty in range(4)
+            for tx in range(5)
+        ]
+        df = spark.createDataFrame(rows, "tx int, ty int, value double")
+        got = spatial_stats.morans_i(df)
+        I, ei, vi, zs = self._numpy_moran(grid)
+        assert got["morans_i"] == pytest.approx(I)
+        assert got["expected_i"] == pytest.approx(ei)
+        assert got["variance_i"] == pytest.approx(vi)
+        assert got["z_score"] == pytest.approx(zs)
+        assert got["morans_i"] > 0 and got["significant"]
