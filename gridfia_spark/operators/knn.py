@@ -68,6 +68,7 @@ def knn_join(
     )
 
     cs = grid.cell_size(res)
+    n_queries = q.count()
     radius = init_radius
     while radius <= max_radius:
         cand = _ring_explode(q, res, radius).join(t, "probe_cell")
@@ -82,18 +83,21 @@ def knn_join(
             d.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= k)
             .select("point_id", "rank", "neighbor_id", "dist_sq")
+        ).persist()
+        # completeness: every query found k neighbors, all within R*cell_size
+        # — one aggregation job over the per-query stats
+        chk = (
+            topk.groupBy("point_id")
+            .agg(F.count("*").alias("n"), F.max("dist_sq").alias("dk"))
+            .agg(
+                F.count("*").alias("n_q"),
+                F.sum(
+                    ((F.col("n") < k) | (F.col("dk") >= (radius * cs) ** 2)).cast("int")
+                ).alias("bad"),
+            )
+            .first()
         )
-        topk = topk.persist()
-        # completeness check: every query found k neighbors, all within R*cs
-        stats = topk.groupBy("point_id").agg(
-            F.count("*").alias("n"), F.max("dist_sq").alias("dk")
-        )
-        n_queries = q.count()
-        bad = stats.filter(
-            (F.col("n") < k) | (F.col("dk") >= (radius * cs) ** 2)
-        ).count()
-        complete = stats.count() == n_queries and bad == 0
-        if complete:
+        if chk.n_q == n_queries and chk.bad == 0:
             return topk
         topk.unpersist()
         radius *= 2

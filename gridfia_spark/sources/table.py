@@ -31,6 +31,7 @@ Table DDL (executed once on the cluster):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,9 +50,6 @@ def enriched_tiles(tiles: DataFrame, join_res: int = 15) -> DataFrame:
     from ..operators import decode
 
     meta = decode.with_tile_meta(tiles)
-    center_cell = meta  # cell of the tile centroid at join_res
-    import pandas as pd
-
     from .. import grid
 
     @F.pandas_udf("long")
@@ -60,7 +58,7 @@ def enriched_tiles(tiles: DataFrame, join_res: int = 15) -> DataFrame:
         cy = (ymin.to_numpy() + ymax.to_numpy()) / 2
         return pd.Series(grid.cell_of_xy(cx, cy, join_res))
 
-    return center_cell.select(
+    return meta.select(
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
         F.col("code").alias("species_code"),
         F.col("tx").alias("tile_x"),

@@ -1,0 +1,81 @@
+"""Parallelism-invariance (SURVEY M8 / test_forest_metrics_pipeline.py:188
+analogue), table-layer roundtrip, and knn ring-expansion tests."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridfia_spark.datagen import tiles as tgen
+from gridfia_spark.operators import knn
+from gridfia_spark.sources import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_INVARIANCE_SNIPPET = """
+import sys, json; sys.path.insert(0, "/root/repo")
+from gridfia_spark.session import get_spark
+from gridfia_spark import queries as Q
+spark = get_spark(cores={cores}, shuffle_partitions={sh})
+pdf = Q.zonal_total_biomass(spark, "/root/testdata/sf0.001").toPandas()
+pdf = pdf.sort_values("poly_id", ignore_index=True)
+print("RESULT" + json.dumps(pdf.to_dict("records")))
+spark.stop()
+"""
+
+
+def _run_at(cores: int, shuffle: int) -> list[dict]:
+    out = subprocess.run(
+        [sys.executable, "-c", _INVARIANCE_SNIPPET.format(cores=cores, sh=shuffle)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT"):
+            return json.loads(line[6:])
+    raise AssertionError(f"no RESULT line; stderr tail: {out.stderr[-500:]}")
+
+
+class TestParallelismInvariance:
+    def test_local1_equals_local4(self):
+        """Zonal results must be bit-identical across parallelism levels and
+        shuffle-partition settings (deterministic per-tile partials)."""
+        a = _run_at(1, 2)
+        b = _run_at(4, 16)
+        assert a == b
+
+
+class TestTableLayer:
+    def test_parquet_roundtrip(self, spark, tmp_path):
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        target = str(tmp_path / "tiles_table")
+        backend = table.write_tiles(tiles, target)
+        assert backend == "parquet"  # no Iceberg jar in the sandbox
+        back = table.read_tiles(spark, target)
+        a = {r.image_id: (bytes(r.bytes), r.caption, r.phash) for r in tiles.collect()}
+        b = {r.image_id: (bytes(r.bytes), r.caption, r.phash) for r in back.collect()}
+        assert a == b
+
+    def test_layout_columns(self, spark):
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        e = table.enriched_tiles(tiles)
+        row = e.filter(F.col("image_id") == "sp0131_tx001_ty000").first()
+        assert row.species_code == "0131" and (row.tile_x, row.tile_y) == (1, 0)
+        assert row.cell_id > 0
+
+
+class TestKnnRingExpansion:
+    def test_tiny_cells_force_expansion(self, spark):
+        """At a very fine resolution the initial ring can't hold k neighbors;
+        the radius-doubling loop must still return exact results."""
+        pts = tgen.points_df(spark, SF_DIR)
+        fine = knn.knn_join(pts, pts, k=3, res=20, init_radius=1, max_radius=4096)
+        coarse = knn.knn_join(pts, pts, k=3, res=14)
+        a = {(r.point_id, r.rank): (r.neighbor_id, r.dist_sq) for r in fine.collect()}
+        b = {(r.point_id, r.rank): (r.neighbor_id, r.dist_sq) for r in coarse.collect()}
+        assert a == b
