@@ -21,7 +21,7 @@ import zlib
 
 import numpy as np
 
-LOSSLESS_FMTS = ("raw32", "rawz")
+LOSSLESS_FMTS = ("raw32", "rawz", "u8z")
 LOSSY_FMTS = ("qnt8",)
 ALL_FMTS = LOSSLESS_FMTS + LOSSY_FMTS
 
@@ -33,6 +33,14 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         return arr.tobytes()
     if fmt == "rawz":
         return zlib.compress(arr.tobytes(), 5)
+    if fmt == "u8z":
+        # LOSSLESS for integer-valued data in [0, 255] (our biomass units) —
+        # the float32 analogue of Parquet's narrow-int encodings; 4x less
+        # decoded/IPC traffic than raw32. Refuses data it can't represent.
+        q = arr.astype(np.uint8)
+        if not np.array_equal(q.astype("<f4"), arr):
+            raise ValueError("u8z requires integer values in [0, 255]")
+        return zlib.compress(q.tobytes(), 5)
     if fmt == "qnt8":
         vmax = float(arr.max()) if arr.size else 0.0
         if vmax <= 0:
@@ -54,6 +62,8 @@ def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         arr = np.frombuffer(data, dtype="<f4")
     elif fmt == "rawz":
         arr = np.frombuffer(zlib.decompress(data), dtype="<f4")
+    elif fmt == "u8z":
+        arr = np.frombuffer(zlib.decompress(data), dtype=np.uint8).astype(np.float32)
     elif fmt == "qnt8":
         (vmax,) = struct.unpack_from("<f", data, 0)
         q = np.frombuffer(data, dtype=np.uint8, offset=4)

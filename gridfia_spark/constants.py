@@ -84,11 +84,11 @@ SF_SPECS: dict[str, GridSpec] = {
     "0.001": GridSpec(2, 2, 32, 32),
     "0.01": GridSpec(4, 4, 48, 48),
     "0.1": GridSpec(12, 12, 64, 64),
-    # scaling-bench scale: 6x96x96 = 55,296 images x 16K px ≈ 906 M px total,
-    # ~3x the reference's NC benchmark grid (289 M px,
+    # scaling-bench scale: 6x144x144 = 124,416 images x 16K px ≈ 2.04 B px,
+    # ~7x the reference's NC benchmark grid (289 M px,
     # docs/data-pipeline/zarr-construction.md:204) — big enough that compute
     # dominates fixed per-stage scheduling, the regime a real cluster runs in
-    "bench": GridSpec(96, 96, 128, 128),
+    "bench": GridSpec(144, 144, 128, 128),
 }
 
 

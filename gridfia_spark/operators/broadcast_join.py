@@ -100,17 +100,23 @@ class PolygonIndex:
 
 
 def assign_tiles_fast(
-    tiles_meta: DataFrame, polygons: DataFrame, res: int
+    tiles_meta: DataFrame, polygons: DataFrame, res: int,
+    index: PolygonIndex | None = None,
 ) -> DataFrame:
     """Map-only vector→raster tile assignment (positive-area overlap).
 
     Plan: parquet scan (bytes pruned) -> mapInPandas -> rows. No shuffle.
+    Pass a prebuilt ``index`` to share one covering across several operators.
     """
-    index = PolygonIndex.build(polygons, res)
+    index = index or PolygonIndex.build(polygons, res)
+    # real Spark broadcast: the index ships once per worker, not once per
+    # task closure (a ~100KB+ pickle per task otherwise dominates job time)
+    bc = tiles_meta.sparkSession.sparkContext.broadcast(index)
     cols = tiles_meta.select("image_id", "xmin", "ymin", "xmax", "ymax")
     eps = 1e-3
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -153,8 +159,10 @@ def _zonal_partials(meta: DataFrame, index: PolygonIndex) -> DataFrame:
     cols = meta.select(
         "bytes", "w", "h", "fmt", "s", "tx", "ty", "xmin", "ymin", "xmax", "ymax"
     )
+    bc = meta.sparkSession.sparkContext.broadcast(index)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -167,35 +175,47 @@ def _zonal_partials(meta: DataFrame, index: PolygonIndex) -> DataFrame:
                 continue
             out = []
             arrs: dict[int, np.ndarray] = {}
-            centers: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            # PIP masks depend only on (tile coords, polygon) — cache them so
+            # the 6 species rows of a co-located tile share one ray-cast
+            masks: dict[tuple[int, int, int], np.ndarray] = {}
+            txs = pdf["tx"].to_numpy()
+            tys = pdf["ty"].to_numpy()
             for r in cand.itertuples(index=False):
                 i = int(r.row)
                 if i not in arrs:
                     row = pdf.iloc[i]
+                    # stay float32: halves memory traffic; sums accumulate
+                    # in float64 via dtype= (bit-identical to converting)
                     arrs[i] = codecs.decode(
                         row["bytes"], int(row["w"]), int(row["h"]), row["fmt"]
-                    ).astype(np.float64)
-                    cx = X0 + (int(row["tx"]) * int(row["w"]) + np.arange(int(row["w"]))) * PIX + PIX / 2
-                    cy = Y0 - (int(row["ty"]) * int(row["h"]) + np.arange(int(row["h"]))) * PIX - PIX / 2
-                    centers[i] = np.meshgrid(cx, cy)
+                    ).ravel()
                 arr = arrs[i]
                 tile_inside = r.n_hit == r.n_cells and r.n_full == r.n_hit
                 if tile_inside:
-                    vals = arr.ravel()
+                    vals = arr
                 else:
-                    gx, gy = centers[i]
-                    mask = geom.points_in_polygon(
-                        gx.ravel(), gy.ravel(), index.rings[int(r.pidx)]
-                    )
+                    pidx = int(r.pidx)
+                    mkey = (int(txs[i]), int(tys[i]), pidx)
+                    mask = masks.get(mkey)
+                    if mask is None:
+                        row = pdf.iloc[i]
+                        w_, h_ = int(row["w"]), int(row["h"])
+                        cx = X0 + (int(txs[i]) * w_ + np.arange(w_)) * PIX + PIX / 2
+                        cy = Y0 - (int(tys[i]) * h_ + np.arange(h_)) * PIX - PIX / 2
+                        gx, gy = np.meshgrid(cx, cy)
+                        mask = geom.points_in_polygon(
+                            gx.ravel(), gy.ravel(), index.rings[pidx]
+                        )
+                        masks[mkey] = mask
                     if not mask.any():
                         continue
-                    vals = arr.ravel()[mask]
+                    vals = arr[mask]
                 out.append(
                     (
                         index.poly_ids[int(r.pidx)],
                         int(pdf["s"].iloc[i]),
                         int(vals.size),
-                        float(vals.sum()),
+                        float(vals.sum(dtype=np.float64)),
                         float(vals.max()),
                         int((vals > 0).sum()),
                     )
@@ -213,14 +233,15 @@ def _zonal_partials(meta: DataFrame, index: PolygonIndex) -> DataFrame:
 
 
 def zonal_stats_fast(
-    tiles: DataFrame, polygons: DataFrame, species: int | None, res: int
+    tiles: DataFrame, polygons: DataFrame, species: int | None, res: int,
+    index: PolygonIndex | None = None,
 ) -> DataFrame:
     """Zonal aggregation with a map-side join: decode each tile once, probe
     the broadcast covering index, PIP only boundary (tile, poly) pairs, emit
     per-pair partials; one final groupBy.
 
     ``species=None`` aggregates every layer, grouped by (poly_id, s)."""
-    index = PolygonIndex.build(polygons, res)
+    index = index or PolygonIndex.build(polygons, res)
     meta = decode.with_tile_meta(tiles)
     if species is not None:
         meta = meta.filter(F.col("s") == species)

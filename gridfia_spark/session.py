@@ -24,7 +24,12 @@ def get_spark(
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cores}]"
-    n_shuffle = shuffle_partitions or (32 if cores == "*" else max(int(cores), 8))
+    n_cores = os.cpu_count() if cores == "*" else int(cores)
+    n_shuffle = shuffle_partitions or max(n_cores, 8)
+    # scan-split size scales inversely with parallelism: ~4 task waves at
+    # any core count (few fat tasks starve many cores; many thin tasks
+    # drown few cores in per-task overhead)
+    mpb_mb = max(48 // n_cores, 2)
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -36,6 +41,8 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.files.maxPartitionBytes", f"{mpb_mb}m")
+        .config("spark.sql.files.openCostInBytes", "256k")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

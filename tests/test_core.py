@@ -175,3 +175,18 @@ class TestPixelGen:
         assert a == b
         c = pixels.phash64(pixels.tile_pixels(2, 0, 0, spec))
         assert a != c
+
+
+class TestU8z:
+    def test_lossless_for_engine_values(self):
+        spec = SF_SPECS["0.001"]
+        for s in range(6):
+            arr = pixels.tile_pixels(s, 1, 0, spec)
+            dec = codecs.decode(codecs.encode(arr, "u8z"), spec.tile_w, spec.tile_h, "u8z")
+            np.testing.assert_array_equal(arr, dec)
+
+    def test_rejects_unrepresentable(self):
+        with pytest.raises(ValueError, match="u8z requires"):
+            codecs.encode(np.array([[0.5]], dtype=np.float32), "u8z")
+        with pytest.raises(ValueError, match="u8z requires"):
+            codecs.encode(np.array([[300.0]], dtype=np.float32), "u8z")
