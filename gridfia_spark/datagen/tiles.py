@@ -89,7 +89,7 @@ def generate_tiles(spark: SparkSession, spec: GridSpec, fmt: str = "rawz") -> Da
     # per-tile work (boundary tiles run PIP, interior ones don't) across
     # task waves — 64 files for 32 cores left ~28% of cores idle on
     # straggler waves
-    n_part = min(max(spec.n_images // 64, 4), 256)
+    n_part = min(max(spec.n_images // 64, min(spec.n_images, 32)), 256)
     # partition by tile coords: all species layers of a tile share a file,
     # so per-tile work (PIP masks, metric cubes) co-locates without shuffles
     return m.repartition(n_part, "tx", "ty").mapInPandas(gen, TILE_SCHEMA)
