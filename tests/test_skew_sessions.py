@@ -1,0 +1,68 @@
+"""Tests: explicit salting correctness + stateful streaming sessions."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridfia_spark.operators import skew
+from gridfia_spark.streaming import sessions
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestSaltedJoin:
+    def test_salted_equals_plain(self, spark):
+        """Salting must not change join results (north rule: salting
+        correctness verified with salted-vs-unsalted equality)."""
+        # skewed probe: one hot cell with 5000 rows, others tiny
+        probe = spark.range(6000).select(
+            F.when(F.col("id") < 5000, F.lit(77)).otherwise(F.col("id") % 50).alias("cell_id"),
+            F.col("id").alias("payload"),
+        )
+        build = spark.range(100).select(
+            F.col("id").alias("cell_id"), (F.col("id") * 10).alias("attr")
+        )
+        plain = probe.join(build, "cell_id")
+        salted = skew.salted_join(probe, build, on="cell_id", k=4, threshold=100)
+        a = {(r.cell_id, r.payload, r.attr) for r in plain.collect()}
+        b = {(r.cell_id, r.payload, r.attr) for r in salted.collect()}
+        assert a == b and len(a) == 6000
+
+    def test_hot_cell_detection(self, spark):
+        probe = spark.range(2000).select(
+            F.when(F.col("id") < 1500, F.lit(9)).otherwise(F.col("id")).alias("cell_id")
+        )
+        hot = [r.cell_id for r in skew.hot_cells(probe, threshold=1000).collect()]
+        assert hot == [9]
+
+
+class TestStreamingSessions:
+    def test_stream_equals_batch(self, spark, tmp_path):
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        stage = str(tmp_path / "events")
+        work = str(tmp_path / "stream")
+        events.write.mode("overwrite").parquet(stage)
+        sessions.stream_user_sessions(spark, stage, work)
+
+        # append-mode emits only watermark-closed sessions; flush the tail
+        # with a sentinel event far in the future, re-run the same stream
+        mx = events.agg(F.max("ts")).first()[0]
+        sentinel = spark.createDataFrame(
+            [(999999, mx, 999999, "x", 0.0, "")], sessions.EVENT_SCHEMA
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+        sentinel.write.mode("append").parquet(stage)
+        sessions.stream_user_sessions(spark, stage, work)
+
+        got = {
+            (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+            for r in sessions.sessions_result(spark, work).collect()
+            if r.user_id != 999999
+        }
+        want = {
+            (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+            for r in sessions.batch_user_sessions(events).collect()
+        }
+        assert got == want and len(want) > 0
