@@ -1,0 +1,134 @@
+"""GridFIASpark — the user-facing facade, mirroring the reference's public
+API surface (gridfia.GridFIA, /root/reference/gridfia/api.py:57) so a
+reference user can switch method-for-method:
+
+| reference (api.py)            | here                                      |
+|-------------------------------|-------------------------------------------|
+| download_species(...)         | generate_tiles(...) (deterministic source)|
+| create_zarr(input_dir, out)   | ingest_directory(...) + write_table(...)  |
+| calculate_metrics(zarr, [..]) | calculate_metrics(tiles, [..])            |
+| create_maps(zarr, maps=[...]) | map_layers(tiles, [...]) (stretch bounds) |
+| + zonal/assignment/kNN        | zonal_stats / assign_tiles / knn          |
+
+Calculation names and parameter semantics match the reference registry
+(core/calculations/registry.py:35-56); unknown names raise with the known
+list, mirroring api.py:468-483.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import grid
+from .constants import PIX, spec_for_sf_dir
+from .functions import kernels
+from .operators import broadcast_join, decode, knn as knn_op, metrics, spatial_join
+
+# reference registry name -> (kernel, default output column, sql type)
+_CALC_TABLE: dict[str, tuple[str, str]] = {
+    "species_richness": ("long", "richness"),
+    "shannon_diversity": ("double", "shannon"),
+    "simpson_diversity": ("double", "simpson"),
+    "evenness": ("double", "evenness"),
+    "total_biomass": ("double", "total_biomass"),
+    "total_biomass_comparison": ("double", "total_comparison"),
+    "species_proportion": ("double", "proportion"),
+    "species_percentage": ("double", "percentage"),
+    "species_group_proportion": ("double", "group_proportion"),
+    "biomass_threshold": ("long", "threshold"),
+    "dominant_species": ("long", "dominant"),
+    "species_presence": ("long", "presence"),
+    "species_dominance": ("double", "dominance"),
+    "rare_species": ("long", "rare"),
+    "common_species": ("long", "common"),
+}
+
+
+class GridFIASpark:
+    """Facade over the engine. Stateless besides the session."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # ------------------------------------------------------------ sources
+    def generate_tiles(self, sf_dir: str, fmt: str = "rawz") -> DataFrame:
+        """Deterministic tile source (replaces download_species; api.py:160)."""
+        from .datagen import tiles as tgen
+
+        return tgen.ensure_tiles(self.spark, sf_dir, fmt)
+
+    def ingest_directory(self, path: str, tile_w: int, tile_h: int, fmt: str = "rawz") -> DataFrame:
+        """Raster-dir ingest incl. total-layer accumulation (create_zarr,
+        api.py:285-407)."""
+        from .sources import ingest
+
+        species = ingest.ingest_raster_dir(self.spark, path, tile_w, tile_h, fmt)
+        return ingest.with_total_layer(species, fmt)
+
+    def validate(self, tiles: DataFrame) -> dict:
+        from .sources import ingest
+
+        return ingest.validate_tile_table(tiles)
+
+    # ----------------------------------------------------------- analytics
+    def calculate_metrics(
+        self,
+        tiles: DataFrame,
+        calculations: list[str | dict[str, Any]],
+        on_error: str = "raise",
+    ) -> DataFrame:
+        """Run named calculations in one shared pass (api.py:409-501 →
+        run_calculations). Each item is a registry name or
+        {"name": ..., **params}; unknown names raise listing valid ones."""
+        specs = []
+        for c in calculations:
+            name = c if isinstance(c, str) else c["name"]
+            params = {} if isinstance(c, str) else {k: v for k, v in c.items() if k != "name"}
+            if name not in _CALC_TABLE or name not in kernels.list_kernels():
+                raise ValueError(
+                    f"Unknown calculation: {name!r}. Valid calculations: "
+                    f"{sorted(_CALC_TABLE)}"
+                )
+            sql_type, out = _CALC_TABLE[name]
+            out = params.pop("output_name", out)
+            specs.append(metrics.MetricSpec(out, name, params, sql_type))
+        return metrics.metric_layers(tiles, specs, on_error=on_error)
+
+    def map_layers(self, tiles: DataFrame, species: list[int]) -> DataFrame:
+        """Display-stretch bounds per species (create_maps' percentile
+        normalization, mapper.py:128-158)."""
+        from pyspark.sql import functions as F
+
+        px = decode.pixels_long(tiles, species=species)
+        return (
+            px.groupBy("s")
+            .agg(F.expr("percentile(v, array(0.02, 0.98))").alias("p"))
+            .select("s", F.col("p")[0].alias("p2"), F.col("p")[1].alias("p98"))
+        )
+
+    # ------------------------------------------------------------- spatial
+    def _res(self, tiles: DataFrame) -> int:
+        dims = decode.with_tile_meta(tiles).select("w").first()
+        return grid.res_for_size(int(dims.w) * PIX * 2)
+
+    def zonal_stats(
+        self, tiles: DataFrame, polygons: DataFrame, species: int | None = 0
+    ) -> DataFrame:
+        return broadcast_join.zonal_stats_fast(
+            tiles, polygons, species=species, res=self._res(tiles)
+        )
+
+    def assign_tiles(self, tiles: DataFrame, polygons: DataFrame) -> DataFrame:
+        meta = decode.with_tile_meta(tiles)
+        return broadcast_join.assign_tiles_fast(meta, polygons, res=self._res(tiles))
+
+    def join_points(self, points: DataFrame, polygons: DataFrame) -> DataFrame:
+        return spatial_join.join_points_polygons(points, polygons)
+
+    def knn(self, queries: DataFrame, targets: DataFrame, k: int = 5) -> DataFrame:
+        return knn_op.knn_join(queries, targets, k=k)
+
+    def point_lookup(self, points: DataFrame, tiles: DataFrame, species: int = 0) -> DataFrame:
+        return decode.point_lookup(points, tiles, species)

@@ -41,8 +41,22 @@ class MetricSpec:
     sql_type: str = "double"
 
 
-def _run_tile_kernels(pdf: pd.DataFrame, specs: list[MetricSpec]) -> pd.DataFrame:
-    """One tile group (all species rows) -> per-pixel metric columns."""
+def _failure_values(sql_type: str, n: int) -> np.ndarray:
+    """Per-dtype failure sentinel, mirroring forest_metrics.py:440-483:
+    NaN for floats, -1 for signed ints (the long columns here are signed)."""
+    if sql_type in ("int", "long"):
+        return np.full(n, -1, dtype=np.int64)
+    return np.full(n, np.nan, dtype=np.float64)
+
+
+def _run_tile_kernels(
+    pdf: pd.DataFrame, specs: list[MetricSpec], on_error: str = "raise"
+) -> pd.DataFrame:
+    """One tile group (all species rows) -> per-pixel metric columns.
+
+    ``on_error='sentinel'`` reproduces the reference's failure convention
+    (forest_metrics.py:410-423 + 440-483): a failing calculation yields a
+    sentinel layer instead of failing the tile, other metrics still emit."""
     tx = int(pdf["tx"].iloc[0])
     ty = int(pdf["ty"].iloc[0])
     w = int(pdf["w"].iloc[0])
@@ -57,7 +71,13 @@ def _run_tile_kernels(pdf: pd.DataFrame, specs: list[MetricSpec]) -> pd.DataFram
     )
     out = {"gx": gx.ravel(), "gy": gy.ravel()}
     for m in specs:
-        layer = kernels.get(m.kernel)(cube, **m.params)
+        try:
+            layer = kernels.get(m.kernel)(cube, **m.params)
+        except Exception:  # noqa: BLE001 — sentinel mode mirrors reference
+            if on_error != "sentinel":
+                raise
+            out[m.out] = _failure_values(m.sql_type, h * w)
+            continue
         col = layer.ravel()
         if m.sql_type in ("int", "long"):
             out[m.out] = col.astype(np.int64)
@@ -66,17 +86,20 @@ def _run_tile_kernels(pdf: pd.DataFrame, specs: list[MetricSpec]) -> pd.DataFram
     return pd.DataFrame(out)
 
 
-def metric_layers(tiles: DataFrame, specs: list[MetricSpec]) -> DataFrame:
+def metric_layers(
+    tiles: DataFrame, specs: list[MetricSpec], on_error: str = "raise"
+) -> DataFrame:
     """Per-pixel metric table ``(gx, gy, <metric>...)`` over the whole raster.
 
     All metrics share one decode pass (multi-metric per chunk,
-    forest_metrics.py:410-423)."""
+    forest_metrics.py:410-423). ``on_error='sentinel'`` keeps going on kernel
+    failures, emitting NaN/-1 sentinel layers (reference convention)."""
     meta = decode.with_tile_meta(tiles).select(
         "tx", "ty", "s", "bytes", "w", "h", "fmt"
     )
     schema = "gx long, gy long, " + ", ".join(f"{m.out} {m.sql_type}" for m in specs)
     return meta.groupBy("tx", "ty").applyInPandas(
-        lambda pdf: _run_tile_kernels(pdf, specs), schema
+        lambda pdf: _run_tile_kernels(pdf, specs, on_error), schema
     )
 
 

@@ -133,6 +133,81 @@ def ann_cosine_topk(
     )
 
 
+def _centroids(n_clusters: int, dim: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_clusters, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def with_ivf_cluster(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    seed: int = 7,
+    dim: int = 64,
+    col: str = "ivf_cluster",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest IVF centroids (max cosine
+    against a deterministic seeded codebook) — built-in expressions only.
+
+    nprobe=1 -> a single int column; nprobe>1 -> exploded (vector, cluster)
+    rows, the query-side multi-probe of IVF search."""
+    cents = _centroids(n_clusters, dim, seed)
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(_dot(vec, vec))
+    scored = F.array(
+        *[
+            F.struct(
+                (_dot(vec, F.array(*[F.lit(float(v)) for v in cents[i]])) / norm).alias("cos"),
+                F.lit(i).alias("cid"),
+            )
+            for i in range(n_clusters)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    if nprobe == 1:
+        return emb.withColumn(col, F.element_at(top, 1)["cid"])
+    return emb.withColumn(col, F.explode(F.transform(top, lambda s: s["cid"])))
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF ANN: targets bucketed by nearest centroid (the inverted file);
+    queries probe their ``nprobe`` nearest centroids; candidates re-ranked by
+    exact cosine. The bucket equi-join is the scale path — each query scans
+    ~nprobe/n_clusters of the corpus instead of all of it."""
+    t = with_ivf_cluster(targets, n_clusters, seed, dim, nprobe=1).select(
+        F.col("vec_id").alias("t_id"),
+        F.col("embedding").alias("t_emb"),
+        F.col("ivf_cluster").alias("cl"),
+    )
+    qc = with_ivf_cluster(queries, n_clusters, seed, dim, nprobe=nprobe).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("ivf_cluster").alias("cl"),
+    )
+    cand = qc.join(t, "cl").filter(F.col("q_id") != F.col("t_id")).select(
+        "q_id", "q_emb", "t_id", "t_emb"
+    ).distinct()
+    qv = F.transform("q_emb", lambda x: x.cast("double"))
+    tv = F.transform("t_emb", lambda x: x.cast("double"))
+    cos = _dot(qv, tv) / (F.sqrt(_dot(qv, qv)) * F.sqrt(_dot(tv, tv)))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("t_id"))
+    return (
+        cand.select("q_id", "t_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("rank").cast("int").alias("rank"), "t_id", "cosine")
+    )
+
+
 def embedding_cosine_dedup(
     emb: DataFrame, threshold: float = 0.95, **lsh_kwargs
 ) -> DataFrame:

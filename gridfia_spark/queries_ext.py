@@ -833,3 +833,13 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_value", 6).alias("sum_value"),
     )
+
+
+@q("ivf_cosine_topk", None)  # rows-only (IVF bucketing not SQL-expressible)
+def ivf_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-k (inverted-file variant; recall vs brute force
+    measured in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_cosine_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_clusters=16, nprobe=4
+    )

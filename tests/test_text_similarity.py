@@ -137,3 +137,32 @@ class TestSimilarity:
             df, threshold=0.95, n_planes=16, bands=8
         ).collect()
         assert any(r.vec_a == 0 and r.vec_b == 1 for r in pairs)
+
+
+class TestIVF:
+    def test_ivf_recall_and_near_dup(self, spark):
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((80, 64)).astype(np.float32)
+        vecs[1] = vecs[0] + 0.01 * rng.standard_normal(64).astype(np.float32)
+        pdf = pd.DataFrame({"vec_id": range(80), "embedding": [v.tolist() for v in vecs]})
+        df = spark.createDataFrame(pdf)
+        exact = similarity.cosine_topk(df.filter(F.col("vec_id") < 10), df, k=5).toPandas()
+        ivf = similarity.ivf_cosine_topk(
+            df.filter(F.col("vec_id") < 10), df, k=5, n_clusters=8, nprobe=4
+        ).toPandas()
+        e = set(zip(exact.q_id, exact.t_id))
+        a = set(zip(ivf.q_id, ivf.t_id))
+        assert len(e & a) / len(e) >= 0.5
+        # near-dup lands in the same cluster -> always found
+        assert (0, 1) in a
+
+    def test_cluster_assignment_deterministic(self, spark):
+        rng = np.random.default_rng(6)
+        pdf = pd.DataFrame(
+            {"vec_id": range(20),
+             "embedding": [v.tolist() for v in rng.standard_normal((20, 64)).astype(np.float32)]}
+        )
+        df = spark.createDataFrame(pdf)
+        a = {r.vec_id: r.ivf_cluster for r in similarity.with_ivf_cluster(df).collect()}
+        b = {r.vec_id: r.ivf_cluster for r in similarity.with_ivf_cluster(df).collect()}
+        assert a == b and 0 <= min(a.values()) and max(a.values()) < 16
