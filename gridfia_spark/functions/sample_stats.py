@@ -188,6 +188,66 @@ def cliffs_delta(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
 
 
+def permutation_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_perm: int = 500,
+) -> DataFrame:
+    """Permutation test for a two-group mean difference — the distributed
+    recast of the reference's ProcessPool permutation machinery
+    (parallel_processing.py:414, statistical_analysis.py group comparison).
+
+    Label shuffles are deterministic and engine-portable: for permutation i,
+    rows are ordered by md5(i || '_' || id) and the first n1 rows get group
+    A's label — reproducible in any SQL engine. Returns one row:
+    (obs_diff, n_perm, n_extreme, p_value) with
+    p = (1 + #{|perm_diff| >= |obs_diff|}) / (n_perm + 1).
+    """
+    groups = [r[0] for r in df.select(group_col).distinct().orderBy(group_col).collect()]
+    if len(groups) != 2:
+        raise ValueError(f"permutation_test needs exactly 2 groups, got {groups}")
+    a = F.col(group_col) == groups[0]
+    base = df.select(
+        F.col(id_col).cast("string").alias("rid"),
+        a.cast("int").alias("is_a"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    stats = base.agg(
+        F.sum("is_a").alias("n1"),
+        F.count("*").alias("n"),
+        (F.sum(F.col("v") * F.col("is_a")) / F.sum("is_a")).alias("mean_a"),
+        (
+            F.sum(F.col("v") * (1 - F.col("is_a"))) / F.sum(1 - F.col("is_a"))
+        ).alias("mean_b"),
+    ).first()
+    obs = stats.mean_a - stats.mean_b
+    n1 = int(stats.n1)
+
+    perms = df.sparkSession.range(n_perm).select(F.col("id").alias("perm"))
+    exploded = base.crossJoin(perms)
+    w = Window.partitionBy("perm").orderBy(
+        F.md5(F.concat(F.col("perm").cast("string"), F.lit("_"), F.col("rid")))
+    )
+    labeled = exploded.withColumn("pa", (F.row_number().over(w) <= n1).cast("int"))
+    per = labeled.groupBy("perm").agg(
+        (
+            F.sum(F.col("v") * F.col("pa")) / F.sum("pa")
+            - F.sum(F.col("v") * (1 - F.col("pa"))) / F.sum(1 - F.col("pa"))
+        ).alias("diff")
+    )
+    res = per.agg(
+        F.sum((F.abs(F.col("diff")) >= abs(obs)).cast("long")).alias("n_extreme")
+    ).first()
+    spark = df.sparkSession
+    p = (1 + res.n_extreme) / (n_perm + 1)
+    return spark.createDataFrame(
+        [(float(obs), n_perm, int(res.n_extreme), float(p))],
+        "obs_diff double, n_perm long, n_extreme long, p_value double",
+    )
+
+
 def group_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Descriptive stats per group (A20): mean/std/n."""
     return df.groupBy(group_col).agg(

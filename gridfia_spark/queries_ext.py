@@ -843,3 +843,66 @@ def ivf_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_cosine_topk(
         emb.filter(F.col("vec_id") < 20), emb, k=5, n_clusters=16, nprobe=4
     )
+
+
+def _o_perm_test(sf_dir: str) -> str:
+    return """WITH base AS (
+  SELECT l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR || '-' ||
+         l_partkey::VARCHAR || '-' || l_suppkey::VARCHAR || '-' ||
+         CAST(l_quantity AS BIGINT)::VARCHAR AS rid,
+         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS is_a,
+         l_quantity::DOUBLE AS v
+  FROM lineitem WHERE l_orderkey < 200 AND l_returnflag <> 'N'
+),
+st AS (
+  SELECT SUM(is_a) AS n1,
+         SUM(v * is_a) / SUM(is_a) - SUM(v * (1 - is_a)) / SUM(1 - is_a) AS obs
+  FROM base
+),
+lab AS (
+  SELECT p.perm, b.v,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY p.perm
+                ORDER BY md5(p.perm::VARCHAR || '_' || b.rid)
+              ) <= (SELECT n1 FROM st) THEN 1 ELSE 0 END AS pa
+  FROM base b CROSS JOIN (SELECT i AS perm FROM generate_series(0, 499) t(i)) p
+),
+per AS (
+  SELECT perm,
+         SUM(v * pa) / SUM(pa) - SUM(v * (1 - pa)) / SUM(1 - pa) AS diff
+  FROM lab GROUP BY perm
+)
+SELECT ROUND((SELECT obs FROM st), 6) AS obs_diff,
+       500::BIGINT AS n_perm,
+       CAST(SUM(CASE WHEN abs(diff) >= abs((SELECT obs FROM st)) THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       ROUND((1 + SUM(CASE WHEN abs(diff) >= abs((SELECT obs FROM st)) THEN 1 ELSE 0 END)) / 501.0, 6) AS p_value
+FROM per"""
+
+
+@q("permutation_test", _o_perm_test)
+def permutation_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group permutation test with engine-portable md5-ordered label
+    shuffles (the reference's ProcessPool permutation machinery,
+    parallel_processing.py:414, as one distributed job)."""
+    from .functions import sample_stats as ss
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") < 200) & (F.col("l_returnflag") != "N")
+    )
+    # rid must be UNIQUE: md5 sort-key ties break engine-dependently
+    # ((l_orderkey, l_linenumber) alone is not unique in this data)
+    df = li.select(
+        F.concat_ws(
+            "-", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            F.col("l_quantity").cast("long"),
+        ).alias("rid"),
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").alias("v"),
+    )
+    out = ss.permutation_test(df, "g", "v", "rid", n_perm=500)
+    return out.select(
+        F.round("obs_diff", 6).alias("obs_diff"),
+        "n_perm",
+        "n_extreme",
+        F.round("p_value", 6).alias("p_value"),
+    )

@@ -147,3 +147,31 @@ class TestMoransI:
         assert got["variance_i"] == pytest.approx(vi)
         assert got["z_score"] == pytest.approx(zs)
         assert got["morans_i"] > 0 and got["significant"]
+
+
+class TestPermutationTest:
+    def test_null_case_high_p(self, spark):
+        """Identical distributions -> p should not be extreme."""
+        import numpy as np
+
+        rng = np.random.default_rng(2)
+        rows = [(str(i), "a" if i % 2 == 0 else "b", float(rng.integers(1, 50)))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "rid string, g string, v double")
+        r = ss.permutation_test(df, "g", "v", "rid", n_perm=200).first()
+        assert 0.0 < r.p_value <= 1.0 and r.p_value > 0.05
+
+    def test_strong_effect_low_p(self, spark):
+        rows = [(str(i), "a", 100.0 + i % 3) for i in range(30)] + [
+            (str(100 + i), "b", 1.0 + i % 3) for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "rid string, g string, v double")
+        r = ss.permutation_test(df, "g", "v", "rid", n_perm=200).first()
+        assert r.p_value < 0.02 and r.obs_diff == pytest.approx(99.0)
+
+    def test_deterministic(self, spark):
+        rows = [(str(i), "a" if i < 20 else "b", float(i % 7)) for i in range(45)]
+        df = spark.createDataFrame(rows, "rid string, g string, v double")
+        a = ss.permutation_test(df, "g", "v", "rid", n_perm=100).first()
+        b = ss.permutation_test(df, "g", "v", "rid", n_perm=100).first()
+        assert (a.p_value, a.n_extreme) == (b.p_value, b.n_extreme)
