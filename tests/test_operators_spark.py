@@ -235,3 +235,59 @@ class TestBroadcastJoinEquivalence:
             ).collect()
         }
         assert fast == slow
+
+
+class TestManyPolygons:
+    """The DataFrame cell-join path is the plan for large polygon dims —
+    exercise it with a 10x10 grid of 100 small counties and check both paths
+    agree (and against the exhaustive pixel oracle for a sample)."""
+
+    def test_dense_polygon_grid(self, spark, tiles):
+        from gridfia_spark import geom
+        from gridfia_spark.operators import broadcast_join
+
+        n = 10
+        w_m, h_m = SPEC.gw * PIX, SPEC.gh * PIX
+        wc, hc = w_m / n, h_m / n
+        rows = []
+        for j in range(n):
+            for i in range(n):
+                rings = geom.rect_polygon(
+                    X0 + i * wc, Y0 - (j + 1) * hc, X0 + (i + 1) * wc, Y0 - j * hc
+                )
+                xmin, ymin, xmax, ymax = geom.polygon_bounds(rings)
+                rows.append(
+                    (f"G{j:02d}{i:02d}", f"g{j}{i}", bytearray(geom.polygon_to_wkb(rings)),
+                     xmin, ymin, xmax, ymax, True)
+                )
+        polys = spark.createDataFrame(
+            rows,
+            "poly_id string, name string, geom_wkb binary, "
+            "xmin double, ymin double, xmax double, ymax double, is_rect boolean",
+        )
+        slow = {
+            r.poly_id: (r.n_px, r.sum_v)
+            for r in zonal.zonal_stats(tiles, polys, species=0, res=16).collect()
+        }
+        fast = {
+            r.poly_id: (r.n_px, r.sum_v)
+            for r in broadcast_join.zonal_stats_fast(tiles, polys, species=0, res=16).collect()
+        }
+        assert fast == slow
+        assert len(fast) == 100
+        # the grid partitions the extent: counts sum to every pixel
+        assert sum(v[0] for v in fast.values()) == SPEC.gw * SPEC.gh
+        # exhaustive pixel-center oracle for one corner + one interior cell
+        # (polygons are NOT pixel-aligned: 64 px / 10 cells)
+        cube = pixels.full_cube(SPEC)
+        gy, gx = np.meshgrid(np.arange(SPEC.gh), np.arange(SPEC.gw), indexing="ij")
+        cx = X0 + gx * PIX + PIX / 2
+        cy = Y0 - gy * PIX - PIX / 2
+        for pid in ("G0000", "G0505"):
+            j, i = int(pid[1:3]), int(pid[3:5])
+            inside = (
+                (cx > X0 + i * wc) & (cx < X0 + (i + 1) * wc)
+                & (cy < Y0 - j * hc) & (cy > Y0 - (j + 1) * hc)
+            )
+            vals = cube[0][inside].astype(np.float64)
+            assert fast[pid] == (int(vals.size), float(vals.sum()))
