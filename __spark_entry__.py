@@ -9,11 +9,15 @@ oracle_sql()  — matching self-contained DuckDB SQL; the synthetic tile
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gridfia_spark import queries as Q
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gridfia_spark import queries as Q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
