@@ -25,6 +25,10 @@ from ..constants import (
 from . import vectors
 
 
+X0_SQL = repr(X0)
+Y0_SQL = repr(Y0)
+
+
 def val_cte(spec: GridSpec) -> str:
     """CTE ``val(s, gx, gy, v)``: biomass of species 1..5 at every pixel."""
     gw, gh = spec.gw, spec.gh

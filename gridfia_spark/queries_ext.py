@@ -906,3 +906,102 @@ def permutation_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_extreme",
         F.round("p_value", 6).alias("p_value"),
     )
+
+
+def _o_zonal_rollup(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.val_cte(spec)},
+allpx AS (
+  SELECT s, gx, gy, v,
+         {osql.X0_SQL} + gx*30.0 + 15.0 AS x,
+         {osql.Y0_SQL} - gy*30.0 - 15.0 AS y
+  FROM val
+),
+{osql.counties_cte(spec)},
+joined AS (
+  SELECT c.poly_id, p.s, p.v
+  FROM allpx p JOIN counties c
+    ON p.x > c.xmin AND p.x < c.xmax AND p.y > c.ymin AND p.y < c.ymax
+)
+SELECT COALESCE(poly_id, 'ALL') AS poly_id,
+       COALESCE(s::VARCHAR, 'ALL') AS s,
+       CAST(SUM(v) AS DOUBLE) AS sum_v,
+       COUNT(*)::BIGINT AS n_px
+FROM joined GROUP BY ROLLUP (poly_id, s)"""
+
+
+@q("zonal_rollup", _o_zonal_rollup)
+def zonal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level zonal aggregation via ROLLUP: per (county, species),
+    per-county subtotals, and the grand total in one pass."""
+    from .operators import broadcast_join
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    polys = tgen.polygons_df(spark, sf_dir).filter(F.col("is_rect"))
+    from . import grid
+    from .constants import PIX
+
+    res = grid.res_for_size(spec_for_sf_dir(sf_dir).tile_w * PIX * 2)
+    # species layers 1..5 only (exclude the precomputed total layer)
+    species_tiles = tiles.filter(~F.col("image_id").startswith("sp0000"))
+    part = broadcast_join.zonal_stats_fast(species_tiles, polys, species=None, res=res)
+    return (
+        part.rollup("poly_id", "s")
+        .agg(F.sum("sum_v").alias("sum_v"), F.sum("n_px").alias("n_px"))
+        .select(
+            F.coalesce(F.col("poly_id"), F.lit("ALL")).alias("poly_id"),
+            F.coalesce(F.col("s").cast("string"), F.lit("ALL")).alias("s"),
+            "sum_v",
+            "n_px",
+        )
+    )
+
+
+def _o_clean_corpus(sf_dir: str) -> str:
+    return r"""WITH stats AS (
+  SELECT doc_id, source, text,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+         md5(text) AS h
+  FROM documents
+),
+kept AS (
+  SELECT * FROM stats
+  WHERE n_tokens >= 20 AND punct_ratio < 0.1
+    AND doc_id = (SELECT MIN(doc_id) FROM stats s2 WHERE s2.h = stats.h)
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM kept GROUP BY source"""
+
+
+@q("clean_corpus", _o_clean_corpus)
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: quality gates (token count, punctuation
+    ratio) + exact-dedup keep-first — the composed training-data pipeline."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("text", r"[^.,;:!?]", "")) / F.length("text")
+        ).alias("punct_ratio"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    w = Window.partitionBy("h")
+    kept = (
+        stats.withColumn("canon", F.min("doc_id").over(w))
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("punct_ratio") < 0.1)
+            & (F.col("doc_id") == F.col("canon"))
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
