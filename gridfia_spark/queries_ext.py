@@ -1005,3 +1005,48 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+def _o_zonal_pivot(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.val_cte(spec)},
+allpx AS (
+  SELECT s, v,
+         {osql.X0_SQL} + gx*30.0 + 15.0 AS x,
+         {osql.Y0_SQL} - gy*30.0 - 15.0 AS y
+  FROM val
+),
+{osql.counties_cte(spec)}
+SELECT c.poly_id AS poly_id,
+       CAST(SUM(CASE WHEN s = 1 THEN v ELSE 0 END) AS DOUBLE) AS sp1,
+       CAST(SUM(CASE WHEN s = 2 THEN v ELSE 0 END) AS DOUBLE) AS sp2,
+       CAST(SUM(CASE WHEN s = 3 THEN v ELSE 0 END) AS DOUBLE) AS sp3,
+       CAST(SUM(CASE WHEN s = 4 THEN v ELSE 0 END) AS DOUBLE) AS sp4,
+       CAST(SUM(CASE WHEN s = 5 THEN v ELSE 0 END) AS DOUBLE) AS sp5
+FROM allpx p JOIN counties c
+  ON p.x > c.xmin AND p.x < c.xmax AND p.y > c.ymin AND p.y < c.ymax
+GROUP BY c.poly_id"""
+
+
+@q("zonal_pivot", _o_zonal_pivot)
+def zonal_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Species-as-columns zonal matrix via the pivot operator (counties x
+    species biomass sums)."""
+    from . import grid
+    from .constants import PIX
+    from .operators import broadcast_join
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    polys = tgen.polygons_df(spark, sf_dir).filter(F.col("is_rect"))
+    res = grid.res_for_size(spec_for_sf_dir(sf_dir).tile_w * PIX * 2)
+    species_tiles = tiles.filter(~F.col("image_id").startswith("sp0000"))
+    part = broadcast_join.zonal_stats_fast(species_tiles, polys, species=None, res=res)
+    return (
+        part.groupBy("poly_id")
+        .pivot("s", [1, 2, 3, 4, 5])
+        .agg(F.sum("sum_v"))
+        .select(
+            "poly_id",
+            *[F.coalesce(F.col(str(i)), F.lit(0.0)).alias(f"sp{i}") for i in range(1, 6)],
+        )
+    )

@@ -66,3 +66,29 @@ class TestStreamingSessions:
             for r in sessions.batch_user_sessions(events).collect()
         }
         assert got == want and len(want) > 0
+
+
+class TestStatefulMonitor:
+    def test_stateful_stream_equals_batch_and_resumes(self, spark, tmp_path):
+        from gridfia_spark.streaming import stateful
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        stage = str(tmp_path / "ev")
+        work = str(tmp_path / "mon")
+        # first half, then the rest — state must carry across restarts
+        first = events.filter(F.col("event_id") % 2 == 0)
+        rest = events.filter(F.col("event_id") % 2 == 1)
+        first.write.mode("overwrite").parquet(stage)
+        stateful.stream_activity_monitor(spark, stage, work, threshold=50.0)
+        rest.write.mode("append").parquet(stage)
+        stateful.stream_activity_monitor(spark, stage, work, threshold=50.0)
+
+        got = {
+            r.user_id: (r.n_events, round(r.sum_value, 6))
+            for r in stateful.monitor_result(spark, work).collect()
+        }
+        want = {
+            r.user_id: (r.n_events, round(r.sum_value, 6))
+            for r in stateful.batch_activity_monitor(events, threshold=50.0).collect()
+        }
+        assert got == want and len(want) > 0
