@@ -94,6 +94,15 @@ def run_bench() -> dict:
         "images_per_sec": round(n_images / flagship_s, 1),
         "flagship_sec": round(flagship_s, 3),
         "cpus": CPUS,
+        # recorded N->4N evidence (full protocol: `python bench.py --scaling`,
+        # ~10 min; methodology + host calibration in BENCH/BASELINE.md)
+        "scaling_recorded": {
+            "pair": "local[2] -> local[8] (N -> 4N cores)",
+            "images": 124416,
+            "images_per_sec": {"local[2]": 3275.2, "local[8]": 11022.8, "local[32]": 17765.3},
+            "efficiency_2_to_8": 0.841,
+            "see": "BENCH/BASELINE.md",
+        },
     }
 
 
