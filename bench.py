@@ -84,34 +84,37 @@ def run_bench() -> dict:
         n_images = flagship_job(spark, SF_DIR)
         flagship_s = min(flagship_s, time.time() - t0)
     spark.stop()
-    return {
+    result = {
         "metric": "spatial_join_tile_assignment_images_per_sec",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
+        "value": round(n_images / flagship_s, 1),
+        "unit": "images/sec",
         "queries": timings,
+        "queries_total_sec": round(sum(timings.values()), 3),
         "sf": SF_DIR.rstrip("/").rsplit("/", 1)[-1],
         "images": n_images,
         "images_per_sec": round(n_images / flagship_s, 1),
         "flagship_sec": round(flagship_s, 3),
         "cpus": CPUS,
-        # recorded N->4N evidence (full protocol: `python bench.py --scaling`,
-        # ~10 min; methodology + host calibration in BENCH/BASELINE.md)
-        "scaling_recorded": {
-            "pair": "local[2] -> local[8] (N -> 4N cores)",
-            "images": 124416,
-            "images_per_sec": {"local[2]": 3275.2, "local[8]": 11022.8, "local[32]": 17765.3},
-            "efficiency_2_to_8": 0.841,
-            "see": "BENCH/BASELINE.md",
-        },
     }
+    # recorded N->4N evidence from the last full `python bench.py --scaling`
+    # run (~10 min; methodology + host calibration in BENCH/BASELINE.md) —
+    # read from disk so it can never silently go stale in code
+    rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "scaling_latest.json")
+    if os.path.exists(rec_path):
+        with open(rec_path) as fh:
+            result["scaling_recorded"] = json.load(fh)
+    return result
 
 
 def run_scaling() -> dict:
-    """Same job, identical input, local[8] vs local[32] (N vs 4N).
+    """Same job, identical input, at local[2] / local[8] / local[32]
+    (the N vs 4N pair is 2->8; see BENCH/BASELINE.md for the calibration).
 
-    Uses the 'bench' tile scale (13,824 images ≈ 226 M px/layer ≈ the
-    reference's NC grid) so the job is compute-bound, not overhead-bound —
-    the regime a 1000-executor cluster actually runs in."""
+    Uses the 'bench' tile scale (124,416 images ≈ 2.04 B px) so the job is
+    compute-bound, not overhead-bound — the regime a 1000-executor cluster
+    actually runs in. Writes the result to BENCH/scaling_latest.json so
+    run_bench can report the recorded evidence without hardcoding."""
     from gridfia_spark.datagen import tiles as tgen
     from gridfia_spark.session import get_spark
 
@@ -149,6 +152,17 @@ def run_scaling() -> dict:
     t32 = out["local[32]"]["images_per_sec"]
     out["scaling_efficiency_2_to_8"] = round((t8 / t2) / 4.0, 3)
     out["scaling_efficiency_8_to_32"] = round((t32 / t8) / 4.0, 3)
+    rec = {
+        "pair": "local[2] -> local[8] (N -> 4N cores)",
+        "images": out["local[2]"]["images"],
+        "images_per_sec": {lvl: out[lvl]["images_per_sec"] for lvl in ("local[2]", "local[8]", "local[32]")},
+        "efficiency_2_to_8": out["scaling_efficiency_2_to_8"],
+        "see": "BENCH/BASELINE.md",
+    }
+    rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "scaling_latest.json")
+    with open(rec_path, "w") as fh:
+        json.dump(rec, fh, indent=1)
     return out
 
 

@@ -114,15 +114,24 @@ def pixels_long(tiles: DataFrame, species: list[int] | None = None) -> DataFrame
     ).withColumn("y", F.lit(Y0) - F.col("gy") * F.lit(PIX) - F.lit(PIX / 2))
 
 
-def point_lookup(points: DataFrame, tiles: DataFrame, species: int = 0) -> DataFrame:
+def point_lookup(
+    points: DataFrame,
+    tiles: DataFrame,
+    species: int = 0,
+    tile_dims: tuple[int, int] | None = None,
+) -> DataFrame:
     """Biomass value at each point — the identify/point-lookup source
     (fia_client.py:608-662 recast): point -> pixel coords via the affine
     (JVM exprs) -> equi-join on tile coords (only the needed tiles decode)
-    -> vectorized per-tile pixel gather."""
+    -> vectorized per-tile pixel gather.
+
+    Pass ``tile_dims=(w, h)`` when known (e.g. from the table spec) to avoid
+    a driver round-trip probing the first row."""
     meta = with_tile_meta(tiles).filter(F.col("s") == species)
-    # tile coords need the tile size; take it from the (single) tile dims
-    dims = meta.select("w", "h").first()
-    tw, th = int(dims.w), int(dims.h)
+    if tile_dims is None:
+        dims = meta.select("w", "h").first()
+        tile_dims = (int(dims.w), int(dims.h))
+    tw, th = tile_dims
     pts = (
         points.select(
             "point_id",
@@ -152,9 +161,11 @@ def point_lookup(points: DataFrame, tiles: DataFrame, species: int = 0) -> DataF
     return joined.mapInPandas(gather, "point_id long, v double")
 
 
-def decode_stats(tiles: DataFrame) -> DataFrame:
+def decode_stats(tiles: DataFrame, threshold: float = 0.0) -> DataFrame:
     """Per-tile decode validation + basic stats (min/max/mean/nonzero) — the
-    analogue of the remote computeStatistics source (fia_client.py:580-606)."""
+    analogue of the remote computeStatistics source (fia_client.py:580-606).
+    ``nonzero`` counts pixels strictly above ``threshold`` (default 0), the
+    biomass-threshold census of species.py:218-226."""
     meta = with_tile_meta(tiles).select("image_id", "bytes", "w", "h", "fmt", "s")
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -165,11 +176,13 @@ def decode_stats(tiles: DataFrame) -> DataFrame:
                 out.append(
                     (
                         row.image_id,
-                        int(row.s),
+                        # non-species tiles (metric sinks: m_* ids) have no
+                        # species code -> s = -1 sentinel
+                        int(row.s) if pd.notna(row.s) else -1,
                         float(arr.min()),
                         float(arr.max()),
                         float(arr.sum()),
-                        int((arr > 0).sum()),
+                        int((arr > threshold).sum()),
                         arr.size,
                     )
                 )

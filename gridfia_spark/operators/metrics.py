@@ -105,12 +105,9 @@ def metric_layers(
 
 def global_occurrence_freq(tiles: DataFrame, biomass_threshold: float = 0.0) -> dict[int, float]:
     """Global per-species occurrence frequency (two-phase distributed agg:
-    per-tile partial nonzero counts -> final sum). The global-scope variant of
-    species.py:218-226; returns {species_idx (1-based): freq}."""
-    st = decode.decode_stats(tiles).filter(F.col("s") > 0)
-    # decode_stats nonzero uses > 0; recount with threshold if nonzero default
-    if biomass_threshold != 0.0:
-        raise NotImplementedError("non-zero biomass_threshold global freq")
+    per-tile partial above-threshold counts -> final sum). The global-scope
+    variant of species.py:218-226; returns {species_idx (1-based): freq}."""
+    st = decode.decode_stats(tiles, threshold=biomass_threshold).filter(F.col("s") > 0)
     agg = (
         st.groupBy("s")
         .agg(F.sum("nonzero").alias("present"), F.sum("npx").alias("npx"))
@@ -123,23 +120,40 @@ def rare_common_layers(
     tiles: DataFrame,
     rare_threshold: float = 0.01,
     common_threshold: float = 0.10,
+    biomass_threshold: float = 0.0,
 ) -> DataFrame:
     """Global-scope rare/common species counts per pixel (SURVEY A14/A15):
-    global frequency aggregate broadcast back into the per-tile kernel pass."""
-    freqs = global_occurrence_freq(tiles)
+    global frequency aggregate broadcast back into the per-tile kernel pass.
+    ``biomass_threshold`` applies to both the frequency census and the
+    per-pixel presence test (species.py:218-234 semantics)."""
+    freqs = global_occurrence_freq(tiles, biomass_threshold)
     freq_arr = np.array([freqs[i] for i in range(1, N_SPECIES)])
+    common = {"biomass_threshold": biomass_threshold, "freq": freq_arr}
     specs = [
-        MetricSpec("rare_cnt", "rare_species", {"occurrence_threshold": rare_threshold, "freq": freq_arr}, "long"),
-        MetricSpec("common_cnt", "common_species", {"occurrence_threshold": common_threshold, "freq": freq_arr}, "long"),
+        MetricSpec("rare_cnt", "rare_species", {"occurrence_threshold": rare_threshold, **common}, "long"),
+        MetricSpec("common_cnt", "common_species", {"occurrence_threshold": common_threshold, **common}, "long"),
     ]
     return metric_layers(tiles, specs)
 
 
+def total_pixel_count(tiles: DataFrame) -> int:
+    """Total pixel count of the raster from tile METADATA alone: sum(w*h)
+    over distinct tile coords. No decode — Catalyst prunes ``bytes``; the
+    job reads only the tiny metadata columns."""
+    meta = decode.with_tile_meta(tiles).select("tx", "ty", "w", "h").distinct()
+    r = meta.agg(F.sum(F.col("w").cast("long") * F.col("h")).alias("n")).first()
+    return int(r.n)
+
+
 def species_dominance_global(tiles: DataFrame) -> DataFrame:
     """Global-scope dominance % per species (A13): per-pixel argmax in the
-    tile pass, then one global conditional average per species."""
+    tile pass, then one global conditional average per species.
+
+    The pixel total comes from metadata (``total_pixel_count``), so the
+    decode+kernel job runs exactly once — at 100x scale the previous
+    ``dom.count()`` doubled the most expensive job in the system."""
     dom = metric_layers(tiles, [MetricSpec("dom", "dominant_species", {}, "long")])
-    total = dom.count()
+    total = total_pixel_count(tiles)
     return (
         dom.filter(F.col("dom") > 0)
         .groupBy("dom")

@@ -94,7 +94,9 @@ def ann_cosine_topk(
     Band keys are slices of the hyperplane signature; a pair is a candidate
     iff at least one band matches. Plan: signatures map-side, band explode,
     equi-join on (band, key) — the scalable alternative to the O(n*m)
-    crossJoin at 10^12 scale."""
+    crossJoin at 10^12 scale. Candidate dedup is on (q_id, t_id) ONLY —
+    embeddings are re-joined after the distinct, so the exchange shuffles
+    ids, never the corpus vectors."""
     bits_per = n_planes // bands
 
     def banded(df: DataFrame, id_alias: str) -> DataFrame:
@@ -109,22 +111,24 @@ def ann_cosine_topk(
         ]
         return sig.select(
             F.col("vec_id").alias(id_alias),
-            F.col("embedding").alias(f"{id_alias}_emb"),
             F.explode(F.array(*exprs)).alias("bk"),
-        ).select(id_alias, f"{id_alias}_emb", "bk.band", "bk.key")
+        ).select(id_alias, "bk.band", "bk.key")
 
     qb = banded(queries, "q_id")
     tb = banded(targets, "t_id")
     cand = (
         qb.join(tb, ["band", "key"])
         .filter(F.col("q_id") != F.col("t_id"))
-        .select("q_id", "q_id_emb", "t_id", "t_id_emb")
+        .select("q_id", "t_id")
         .distinct()
     )
-    qv = F.transform("q_id_emb", lambda x: x.cast("double"))
-    tv = F.transform("t_id_emb", lambda x: x.cast("double"))
+    q_emb = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    t_emb = targets.select(F.col("vec_id").alias("t_id"), F.col("embedding").alias("t_emb"))
+    pairs = cand.join(F.broadcast(q_emb), "q_id").join(t_emb, "t_id")
+    qv = F.transform("q_emb", lambda x: x.cast("double"))
+    tv = F.transform("t_emb", lambda x: x.cast("double"))
     cos = _dot(qv, tv) / (F.sqrt(_dot(qv, qv)) * F.sqrt(_dot(tv, tv)))
-    scored = cand.select("q_id", "t_id", F.round(cos, 6).alias("cosine"))
+    scored = pairs.select("q_id", "t_id", F.round(cos, 6).alias("cosine"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("t_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -185,23 +189,26 @@ def ivf_cosine_topk(
     ~nprobe/n_clusters of the corpus instead of all of it."""
     t = with_ivf_cluster(targets, n_clusters, seed, dim, nprobe=1).select(
         F.col("vec_id").alias("t_id"),
-        F.col("embedding").alias("t_emb"),
         F.col("ivf_cluster").alias("cl"),
     )
     qc = with_ivf_cluster(queries, n_clusters, seed, dim, nprobe=nprobe).select(
         F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
         F.col("ivf_cluster").alias("cl"),
     )
+    # dedup multi-probe candidates on ids only, then re-join embeddings —
+    # the distinct exchange never carries the vectors
     cand = qc.join(t, "cl").filter(F.col("q_id") != F.col("t_id")).select(
-        "q_id", "q_emb", "t_id", "t_emb"
+        "q_id", "t_id"
     ).distinct()
+    q_emb = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    t_emb = targets.select(F.col("vec_id").alias("t_id"), F.col("embedding").alias("t_emb"))
+    pairs = cand.join(F.broadcast(q_emb), "q_id").join(t_emb, "t_id")
     qv = F.transform("q_emb", lambda x: x.cast("double"))
     tv = F.transform("t_emb", lambda x: x.cast("double"))
     cos = _dot(qv, tv) / (F.sqrt(_dot(qv, qv)) * F.sqrt(_dot(tv, tv)))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("t_id"))
     return (
-        cand.select("q_id", "t_id", F.round(cos, 6).alias("cosine"))
+        pairs.select("q_id", "t_id", F.round(cos, 6).alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("rank").cast("int").alias("rank"), "t_id", "cosine")

@@ -83,6 +83,31 @@ def rare_common_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.rare_common_layers(tiles, rare_threshold=0.05, common_threshold=0.5)
 
 
+def _o_rare_common_t(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.val_cte(spec)},
+freq AS (
+  SELECT s, CAST(SUM(CASE WHEN v > 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS f
+  FROM val GROUP BY s
+)
+SELECT v.gx AS gx, v.gy AS gy,
+       CAST(SUM(CASE WHEN v.v > 5 AND q.f < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS rare_cnt,
+       CAST(SUM(CASE WHEN v.v > 5 AND q.f >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS common_cnt
+FROM val v JOIN freq q ON v.s = q.s
+GROUP BY v.gx, v.gy"""
+
+
+@q("rare_common_global_thresholded", _o_rare_common_t)
+def rare_common_global_thresholded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-scope rare/common with a non-zero biomass threshold (SURVEY
+    A14/A15 at t>0): the census and the per-pixel presence test both use
+    v > 5 (species.py:218-234 biomass_threshold semantics)."""
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    return metrics.rare_common_layers(
+        tiles, rare_threshold=0.05, common_threshold=0.3, biomass_threshold=5.0
+    )
+
+
 def _o_dominance(sf_dir: str) -> str:
     spec = spec_for_sf_dir(sf_dir)
     n_px = spec.gw * spec.gh
@@ -527,9 +552,10 @@ FROM points p JOIN total t
 def point_biomass_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point value lookup (SURVEY S9 / identify_pixel_value): decode only
     the tiles containing query points."""
+    spec = spec_for_sf_dir(sf_dir)
     tiles = tgen.ensure_tiles(spark, sf_dir)
     pts = tgen.points_df(spark, sf_dir)
-    return decode.point_lookup(pts, tiles, species=0)
+    return decode.point_lookup(pts, tiles, species=0, tile_dims=(spec.tile_w, spec.tile_h))
 
 
 def _o_bh_fdr(sf_dir: str) -> str:

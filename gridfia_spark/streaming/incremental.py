@@ -46,7 +46,13 @@ def incremental_zonal(
         if species is not None:
             meta = meta.filter(F.col("s") == species)
         part = broadcast_join._zonal_partials(meta, index)
-        part.write.mode("append").parquet(os.path.join(work_dir, "partials"))
+        # foreachBatch is at-least-once: a crash between write and checkpoint
+        # commit replays the batch. Writing each batch to its own
+        # batch=<id> partition with overwrite makes the replay IDEMPOTENT —
+        # a re-run overwrites its own partials instead of double-counting.
+        part.write.mode("overwrite").parquet(
+            os.path.join(work_dir, "partials", f"batch={batch_id}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(process_batch)
