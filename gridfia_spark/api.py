@@ -108,6 +108,23 @@ class GridFIASpark:
             .select("s", F.col("p")[0].alias("p2"), F.col("p")[1].alias("p98"))
         )
 
+    def create_maps(self, tiles: DataFrame, species: list[int]) -> DataFrame:
+        """The rendering-free map product (api.create_maps, api.py:503-703 /
+        mapper.py:128-158): percentile stretch + clip + 256-level colormap
+        index, re-encoded as raster tile rows (``r_sp*`` ids)."""
+        from .operators import render
+
+        bounds = render.stretch_bounds(tiles, species=species)
+        return render.render_layers(tiles, bounds)
+
+    def location_bboxes(self, lonlat_bounds: tuple) -> dict:
+        """Three-CRS location contract (api.py:240-259,
+        location_config.py:274-379): a geographic bbox resolved to
+        EPSG:4326 / EPSG:3857 / ESRI:102039 bounds."""
+        from . import crs
+
+        return crs.location_bboxes(lonlat_bounds)
+
     # ------------------------------------------------------------- spatial
     def _res(self, tiles: DataFrame) -> int:
         dims = decode.with_tile_meta(tiles).select("w").first()

@@ -104,6 +104,11 @@ def _sf_tag(sf_dir: str) -> str:
     return sf_dir.rstrip("/").rsplit("/", 1)[-1]
 
 
+def tiles_path(sf_dir: str, fmt: str = "rawz") -> str:
+    """On-disk location of the materialized tile table for a scale factor."""
+    return os.path.join(CACHE_ROOT, f"tiles_{_sf_tag(sf_dir)}_{fmt}.parquet")
+
+
 def ensure_tiles(spark: SparkSession, sf_dir: str, fmt: str = "rawz") -> DataFrame:
     """Materialize (once) and read the tile table for a scale factor.
 
@@ -111,7 +116,7 @@ def ensure_tiles(spark: SparkSession, sf_dir: str, fmt: str = "rawz") -> DataFra
     Parquet directory with identical schema and layout.
     """
     spec = spec_for_sf_dir(sf_dir)
-    path = os.path.join(CACHE_ROOT, f"tiles_{_sf_tag(sf_dir)}_{fmt}.parquet")
+    path = tiles_path(sf_dir, fmt)
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         generate_tiles(spark, spec, fmt).write.mode("overwrite").parquet(path)

@@ -114,14 +114,16 @@ def sample_diversity(samples: DataFrame) -> DataFrame:
     )
 
 
-def sample_diversity_expr(samples: DataFrame) -> DataFrame:
-    """Per-sample richness/shannon/simpson/evenness/chao1 in pure built-in
-    expressions (whole-stage codegen; no Python) — the fast path for the
-    metrics that don't need the pUDAF (ACE stays in sample_diversity).
-    Simpson uses the exact rational form (see ``simpson``)."""
+def sample_diversity_expr(samples: DataFrame, rare_threshold: int = 10) -> DataFrame:
+    """Per-sample richness/shannon/simpson/evenness/chao1/ACE in pure
+    built-in expressions (whole-stage codegen; no Python). Simpson uses the
+    exact rational form (see ``simpson``); ACE mirrors ``ace``'s branch
+    structure (statistical_analysis.py:154-192) with the same float64 op
+    order, so a SQL oracle reproduces it bit-for-bit."""
     tot = samples.groupBy("sample_id").agg(F.sum("count").alias("tot"))
     c = F.col("count")
     t = F.col("tot")
+    rt = F.lit(float(rare_threshold))
     per = (
         samples.join(tot, "sample_id")
         .groupBy("sample_id")
@@ -131,7 +133,30 @@ def sample_diversity_expr(samples: DataFrame) -> DataFrame:
             F.sum((c == 2).cast("int")).cast("double").alias("f2"),
             F.sum(F.when(c > 0, -(c / t) * F.log(c / t)).otherwise(0.0)).alias("sh"),
             (F.sum(c * c) / (F.max(t) * F.max(t))).alias("dom"),
+            F.sum(((c > 0) & (c <= rt)).cast("int")).cast("double").alias("n_rare"),
+            F.sum((c > rt).cast("int")).cast("double").alias("n_abund"),
+            F.sum(F.when((c > 0) & (c <= rt), c).otherwise(0.0)).alias("nrt"),
+            # sum of i*(i-1)*F_i over integer abundances i in 1..threshold
+            F.sum(
+                F.when((c >= 1) & (c <= rt) & (c == F.floor(c)), c * (c - 1)).otherwise(0.0)
+            ).alias("ace_num"),
         )
+    )
+    c_ace = F.when(F.col("nrt") > 0, F.lit(1.0) - (F.col("f1") / F.col("nrt"))).otherwise(
+        F.lit(1.0)
+    )
+    den = F.col("nrt") * (F.col("nrt") - 1)
+    gamma = F.when(
+        den > 0,
+        F.greatest(F.lit(0.0), (F.col("n_rare") / c_ace) * (F.col("ace_num") / den) - 1),
+    ).otherwise(F.lit(0.0))
+    ace_col = (
+        F.when(F.col("n_rare") == 0, F.col("n_abund"))
+        .when(
+            c_ace > 0,
+            F.col("n_abund") + F.col("n_rare") / c_ace + (F.col("f1") / c_ace) * gamma,
+        )
+        .otherwise(F.col("n_abund") + F.col("n_rare"))
     )
     return per.select(
         "sample_id",
@@ -145,6 +170,7 @@ def sample_diversity_expr(samples: DataFrame) -> DataFrame:
             .when(F.col("f1") > 0, F.col("f1") * (F.col("f1") - 1) / 2)
             .otherwise(0.0)
         ).alias("chao1"),
+        ace_col.alias("ace"),
     )
 
 
@@ -245,6 +271,50 @@ def permutation_test(
     return spark.createDataFrame(
         [(float(obs), n_perm, int(res.n_extreme), float(p))],
         "obs_diff double, n_perm long, n_extreme long, p_value double",
+    )
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_boot: int = 200,
+    lo: float = 0.025,
+    hi: float = 0.975,
+) -> DataFrame:
+    """Bootstrap percentile CI of the mean — the distributed recast of the
+    reference's ProcessPool bootstrap (parallel_processing.py:352).
+
+    Resampling with replacement is deterministic and engine-portable: for
+    bootstrap b, slot j picks row index (b*104729 + j*7919 + 13) mod n over
+    the rows ranked by id — reproducible in any SQL engine, no RNG state.
+    Returns one row (obs_mean, ci_lo, ci_hi, n_boot)."""
+    base = df.select(
+        F.col(id_col).cast("string").alias("rid"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    n = base.count()
+    spark = df.sparkSession
+    w = Window.orderBy("rid")
+    ranked = base.withColumn("ridx", F.row_number().over(w) - 1)
+    slots = (
+        spark.range(n_boot)
+        .select(F.col("id").alias("b"))
+        .crossJoin(spark.range(n).select(F.col("id").alias("j")))
+        .select("b", ((F.col("b") * 104729 + F.col("j") * 7919 + 13) % n).alias("ridx"))
+    )
+    means = (
+        slots.join(F.broadcast(ranked.select("ridx", "v")), "ridx")
+        .groupBy("b")
+        .agg(F.avg("v").alias("m"))
+    )
+    ci = means.agg(
+        F.expr(f"percentile(m, array({lo!r}, {hi!r}))").alias("p")
+    ).first()
+    obs = base.agg(F.avg("v")).first()[0]
+    return spark.createDataFrame(
+        [(float(obs), float(ci.p[0]), float(ci.p[1]), n_boot)],
+        "obs_mean double, ci_lo double, ci_hi double, n_boot long",
     )
 
 

@@ -44,6 +44,8 @@ class PolygonIndex:
 
     @classmethod
     def build(cls, polygons: DataFrame, res: int) -> "PolygonIndex":
+        from .spatial_join import covering_at_res
+
         rows = polygons.select("poly_id", "geom_wkb").collect()
         poly_ids, all_rings, bounds = [], [], []
         recs = []
@@ -52,28 +54,15 @@ class PolygonIndex:
             poly_ids.append(r.poly_id)
             all_rings.append(rings)
             bounds.append(geom.polygon_bounds(rings))
-            cells, full = geom.polygon_covering(rings, min(res, 10), res)
-            # normalize coarse inside-cells down to res (vectorized per level)
-            ix, iy, rr = grid.decode_cell(cells)
-            for level in np.unique(rr):
-                sel = rr == level
-                shift = int(res - level)
-                if shift == 0:
-                    for c, f in zip(cells[sel].tolist(), full[sel].tolist()):
-                        recs.append((c, pidx, f))
-                else:
-                    # expand each coarse cell to its 2^shift x 2^shift block
-                    k = 1 << shift
-                    offs = np.arange(k, dtype=np.int64)
-                    ox, oy = np.meshgrid(offs, offs)
-                    bx = (ix[sel][:, None] << shift) + ox.ravel()[None, :]
-                    by = (iy[sel][:, None] << shift) + oy.ravel()[None, :]
-                    sub = grid.encode_cell(bx.ravel(), by.ravel(), res)
-                    fsel = np.repeat(full[sel], k * k)
-                    recs.extend(
-                        (int(c), pidx, bool(f)) for c, f in zip(sub.tolist(), fsel.tolist())
-                    )
-        c2p = pd.DataFrame(recs, columns=["cell_id", "pidx", "fully_inside"])
+            cells, full = covering_at_res(rings, res)
+            recs.append(
+                pd.DataFrame({"cell_id": cells, "pidx": pidx, "fully_inside": full})
+            )
+        c2p = (
+            pd.concat(recs, ignore_index=True)
+            if recs
+            else pd.DataFrame({"cell_id": [], "pidx": [], "fully_inside": []})
+        )
         return cls(poly_ids, all_rings, np.asarray(bounds, dtype=np.float64), c2p, res)
 
     def candidates(

@@ -216,14 +216,49 @@ def ivf_cosine_topk(
 
 
 def embedding_cosine_dedup(
-    emb: DataFrame, threshold: float = 0.95, **lsh_kwargs
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+    dim: int = 64,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: LSH candidates + exact cosine filter
-    (doc-level near-dup detection by embedding)."""
-    pairs = ann_cosine_topk(emb, emb, k=50, **lsh_kwargs)
-    return (
-        pairs.filter((F.col("cosine") >= threshold) & (F.col("q_id") < F.col("t_id")))
-        .select(
-            F.col("q_id").alias("vec_a"), F.col("t_id").alias("vec_b"), "cosine"
+    """Embedding near-duplicate pairs: LSH band candidates + exact cosine
+    verify, NO top-k cap (dedup wants every pair over the threshold).
+
+    Output contract: exact for every pair whose vectors share at least one
+    LSH band — identical/near-identical vectors always do (identical
+    signatures), so true duplicates cannot be pruned. The candidate
+    self-join and the (vec_a, vec_b) distinct carry ids only; embeddings
+    re-join afterwards."""
+    bits_per = n_planes // bands
+    sig = hyperplane_signature(emb, n_planes, seed, dim)
+    mask = (1 << bits_per) - 1
+    exprs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("lsh_sig", b * bits_per).bitwiseAND(F.lit(mask)).alias("key"),
         )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "vec_id", F.explode(F.array(*exprs)).alias("bk")
+    ).select("vec_id", "bk.band", "bk.key")
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band", "key")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
+    av = F.transform("ea", lambda x: x.cast("double"))
+    bv = F.transform("eb", lambda x: x.cast("double"))
+    cos = _dot(av, bv) / (F.sqrt(_dot(av, av)) * F.sqrt(_dot(bv, bv)))
+    return (
+        pairs.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )

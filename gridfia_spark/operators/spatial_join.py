@@ -30,36 +30,80 @@ from .. import geom, grid
 from . import decode
 
 
+def covering_at_res(rings: list[np.ndarray], res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Covering cells of one polygon, normalized to a single resolution:
+    run the multi-level covering (geom.polygon_covering), then expand each
+    coarse fully-inside cell into its 2^k x 2^k block of ``res`` children —
+    all vectorized per level. Returns (cells int64, fully_inside bool)."""
+    cells, full = geom.polygon_covering(rings, min(res, 10), res)
+    ix, iy, rr = grid.decode_cell(cells)
+    out_cells, out_full = [], []
+    for level in np.unique(rr):
+        sel = rr == level
+        shift = int(res - level)
+        if shift == 0:
+            out_cells.append(cells[sel])
+            out_full.append(full[sel])
+        else:
+            k = 1 << shift
+            offs = np.arange(k, dtype=np.int64)
+            ox, oy = np.meshgrid(offs, offs)
+            bx = (ix[sel][:, None] << shift) + ox.ravel()[None, :]
+            by = (iy[sel][:, None] << shift) + oy.ravel()[None, :]
+            out_cells.append(grid.encode_cell(bx.ravel(), by.ravel(), res))
+            out_full.append(np.repeat(full[sel], k * k))
+    return np.concatenate(out_cells), np.concatenate(out_full)
+
+
 def polygon_cells_df(
     spark: SparkSession, polygons: DataFrame, res: int = grid.JOIN_RES
 ) -> DataFrame:
-    """Single-resolution covering cells per polygon.
+    """Single-resolution covering cells per polygon, built on the driver.
 
-    The polygon dimension is small (boundaries: states/counties), so coverings
-    are computed on the driver and broadcast — the same place the reference
-    holds its GeoDataFrame in memory (boundaries.py:30-49). For a large
-    polygon side the identical covering kernel runs distributed via
-    ``mapInPandas`` over the polygon table instead.
+    Right plan when the polygon dimension is small (boundaries:
+    states/counties) — the same place the reference holds its GeoDataFrame
+    in memory (boundaries.py:30-49). For a LARGE polygon side use
+    ``polygon_cells_dist``: the identical kernel inside ``mapInPandas``.
     """
     rows = []
     for r in polygons.select("poly_id", "geom_wkb").collect():
         rings = geom.wkb_to_polygon(bytes(r.geom_wkb))
-        cells, full = geom.polygon_covering(rings, min(res, 10), res)
-        # normalize coarse fully-inside cells down to `res` children
-        for c, f in zip(cells.tolist(), full.tolist()):
-            _, _, cres = grid.decode_cell(np.asarray([c]))
-            if int(cres[0]) == res:
-                rows.append((r.poly_id, int(c), bool(f)))
-            else:
-                stack = [int(c)]
-                while stack:
-                    cur = stack.pop()
-                    _, _, cr = grid.decode_cell(np.asarray([cur]))
-                    if int(cr[0]) == res:
-                        rows.append((r.poly_id, cur, True))
-                    else:
-                        stack.extend(int(ch) for ch in grid.children(cur))
+        cells, full = covering_at_res(rings, res)
+        rows.extend(
+            (r.poly_id, int(c), bool(f)) for c, f in zip(cells.tolist(), full.tolist())
+        )
     return spark.createDataFrame(rows, "poly_id string, cell_id long, fully_inside boolean")
+
+
+def polygon_cells_dist(polygons: DataFrame, res: int = grid.JOIN_RES) -> DataFrame:
+    """Distributed covering: the identical covering kernel runs inside
+    ``mapInPandas`` over the polygon table — the scale path when the polygon
+    side is itself large (millions of polygons), where a driver-side
+    covering + collect would bottleneck. One row per (poly_id, cell_id);
+    tested equal to the driver-side covering."""
+    cols = polygons.select("poly_id", "geom_wkb")
+
+    def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cells, fulls = [], [], []
+            for r in pdf.itertuples(index=False):
+                rings = geom.wkb_to_polygon(bytes(r.geom_wkb))
+                c, f = covering_at_res(rings, res)
+                ids.append(np.full(c.size, r.poly_id, dtype=object))
+                cells.append(c)
+                fulls.append(f)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "poly_id": np.concatenate(ids),
+                        "cell_id": np.concatenate(cells),
+                        "fully_inside": np.concatenate(fulls),
+                    }
+                )
+
+    return cols.mapInPandas(
+        cover, "poly_id string, cell_id long, fully_inside boolean"
+    )
 
 
 def with_point_cells(points: DataFrame, res: int = grid.JOIN_RES) -> DataFrame:
@@ -100,13 +144,22 @@ def join_points_polygons(
     points: DataFrame,
     polygons: DataFrame,
     res: int = grid.JOIN_RES,
+    distributed: bool = False,
 ) -> DataFrame:
     """Inner spatial join point-in-polygon -> (point columns..., poly_id).
 
     Semantics match gpd.sjoin(..., predicate='intersects') for points
-    (parallel_processing.py:90-91).
-    """
+    (parallel_processing.py:90-91). ``distributed=True`` computes the
+    polygon covering inside the cluster (polygon_cells_dist) and lets AQE
+    pick the join strategy — the plan for a large polygon side."""
     spark = points.sparkSession
+    if distributed:
+        cells = polygon_cells_dist(polygons, res)
+        pts = with_point_cells(points, res)
+        cand = pts.join(cells, "cell_id")
+        sure = cand.filter(F.col("fully_inside")).drop("fully_inside", "cell_id")
+        maybe = cand.filter(~F.col("fully_inside")).drop("fully_inside", "cell_id")
+        return sure.unionByName(_pip_refine(maybe, polygons))
     cells = polygon_cells_df(spark, polygons, res)
     pts = with_point_cells(points, res)
     cand = pts.join(F.broadcast(cells), "cell_id")
@@ -120,6 +173,7 @@ def join_tiles_polygons(
     tiles_meta: DataFrame,
     polygons: DataFrame,
     res: int = grid.JOIN_RES,
+    distributed: bool = False,
 ) -> DataFrame:
     """Candidate tile×polygon pairs via the cell-prefix join.
 
@@ -128,14 +182,18 @@ def join_tiles_polygons(
     fully-inside polygon cell) — pairs with ``tile_inside`` skip per-pixel PIP
     in zonal aggregation. Candidate pairs where only boundary cells touch are
     a superset; exact per-pixel refinement happens downstream.
+    ``distributed=True`` builds the covering in-cluster (large polygon side).
     """
     spark = tiles_meta.sparkSession
-    pcells = polygon_cells_df(spark, polygons, res)
+    if distributed:
+        pcells = polygon_cells_dist(polygons, res)
+    else:
+        pcells = polygon_cells_df(spark, polygons, res)
     # n_tile_cells rides along as a column (no extra shuffle for the count)
     tcells = decode.with_tile_cells(tiles_meta, res).select(
         "image_id", "cell_id", "n_tile_cells", "xmin", "ymin", "xmax", "ymax"
     )
-    j = tcells.join(F.broadcast(pcells), "cell_id")
+    j = tcells.join(pcells if distributed else F.broadcast(pcells), "cell_id")
     agg = j.groupBy("image_id", "poly_id").agg(
         F.count("*").alias("n_hit"),
         F.min(F.col("fully_inside").cast("int")).alias("all_full"),

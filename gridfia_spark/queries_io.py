@@ -1,0 +1,261 @@
+"""Driver-facing IO roundtrip queries: raster-directory ingest (S1/S3/S4/S6),
+total-layer accumulation (§2.7), metric/store/CSV sinks (S11/S12/S15),
+batch-export manifest (S8), bbox validation (P8), and the incremental
+Structured-Streaming zonal path (§2.9) — each registered with a DuckDB oracle
+so the whole ingest→compute→sink surface is driver-verified end to end.
+
+Registered into the same registry as queries.py (imported from queries_ext).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import codecs
+from .constants import SPECIES, spec_for_sf_dir
+from .datagen import oracle_sql as osql
+from .datagen import pixels as pxgen
+from .datagen import tiles as tgen
+from .operators import decode, metrics
+from .queries import _join_res, q
+from .sources import ingest, sinks
+
+
+def _cache(sf_dir: str, name: str) -> str:
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(tgen.CACHE_ROOT, f"{name}_{tag}")
+
+
+# ===================================================================
+# Ingest roundtrip (S1 scan, S3/S4 append, S6 validate, §2.7 total)
+# ===================================================================
+
+
+def _ensure_raster_dirs(sf_dir: str) -> tuple[str, str]:
+    """Materialize (once) two directories of encoded raster files in the
+    reference's batch-ingest layout ``SPCD_<code>_tx<tx>_ty<ty>.bin``
+    (zarr_utils.py:821-882): base = species 1..4, new = species 5."""
+    spec = spec_for_sf_dir(sf_dir)
+    root = _cache(sf_dir, "ingest")
+    marker = os.path.join(root, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        for sub, srange in (("base", range(1, 5)), ("new", range(5, 6))):
+            d = os.path.join(root, sub)
+            os.makedirs(d, exist_ok=True)
+            for s in srange:
+                code = SPECIES[s][0]
+                for ty in range(spec.tiles_y):
+                    for tx in range(spec.tiles_x):
+                        arr = pxgen.tile_pixels(s, tx, ty, spec)
+                        fn = os.path.join(d, f"SPCD_{code}_tx{tx:03d}_ty{ty:03d}.bin")
+                        with open(fn, "wb") as fh:
+                            fh.write(codecs.encode(arr, "rawz"))
+        open(marker, "w").close()
+    return os.path.join(root, "base"), os.path.join(root, "new")
+
+
+def _o_ingest(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    return f"""WITH {osql.total_cte(spec)}
+SELECT printf('sp0000_tx%03d_ty%03d', (gx // {tw})::INT, (gy // {th})::INT) AS image_id,
+       CAST(MIN(v) AS DOUBLE) AS vmin,
+       CAST(MAX(v) AS DOUBLE) AS vmax,
+       CAST(SUM(v) AS DOUBLE) AS vsum,
+       CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero,
+       COUNT(*)::BIGINT AS npx
+FROM total GROUP BY gx // {tw}, gy // {th}"""
+
+
+@q("ingest_roundtrip", _o_ingest)
+def ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-directory ingest end to end (SURVEY S1/S3/S4/S6/§2.7; ref
+    zarr_utils.py:885-1025): binaryFile scan + filename regexp -> decode with
+    dimension validation -> append a second directory with collision/dim
+    checks -> synthesize the total layer (per-pixel union accumulation,
+    zarr_utils.py:1003-1019) -> per-tile stats of the accumulated total."""
+    spec = spec_for_sf_dir(sf_dir)
+    base_dir, new_dir = _ensure_raster_dirs(sf_dir)
+    base = ingest.ingest_raster_dir(spark, base_dir, spec.tile_w, spec.tile_h)
+    new = ingest.ingest_raster_dir(spark, new_dir, spec.tile_w, spec.tile_h)
+    table = ingest.append_species(base, new)
+    summary = ingest.validate_tile_table(table)
+    if not summary["valid"]:
+        raise AssertionError(f"ingested table failed validation: {summary}")
+    with_total = ingest.with_total_layer(table)
+    totals = with_total.filter(F.col("image_id").startswith("sp0000"))
+    return decode.decode_stats(totals).select(
+        "image_id", "vmin", "vmax", "vsum", "nonzero", "npx"
+    )
+
+
+# ===================================================================
+# Metric sink roundtrip (S11/S12)
+# ===================================================================
+
+
+def _o_sink(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    return f"""WITH {osql.val_cte(spec)},
+rich AS (
+  SELECT gx, gy, SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS r
+  FROM val GROUP BY gx, gy
+)
+SELECT printf('m_richness_tx%03d_ty%03d', (gx // {tw})::INT, (gy // {th})::INT) AS image_id,
+       CAST(MIN(r) AS DOUBLE) AS vmin,
+       CAST(MAX(r) AS DOUBLE) AS vmax,
+       CAST(SUM(r) AS DOUBLE) AS vsum,
+       CAST(SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero,
+       COUNT(*)::BIGINT AS npx
+FROM rich GROUP BY gx // {tw}, gy // {th}"""
+
+
+@q("sink_roundtrip", _o_sink)
+def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric sink roundtrip (SURVEY S11/S12; ref forest_metrics.py:547-637):
+    per-pixel richness -> re-encode into raster tile rows (metric_to_tiles)
+    -> write a partitioned Parquet store (the Zarr-store analogue) -> re-read
+    -> decode stats of the re-encoded metric raster."""
+    spec = spec_for_sf_dir(sf_dir)
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    rich = metrics.metric_layers(
+        tiles, [metrics.MetricSpec("richness", "species_richness", {}, "long")]
+    )
+    enc = sinks.metric_to_tiles(rich, "richness", spec.tile_w, spec.tile_h)
+    store = _cache(sf_dir, "sink") + ".parquet"
+    enc.write.mode("overwrite").parquet(store)
+    out = decode.decode_stats(spark.read.parquet(store))
+    return out.select("image_id", "vmin", "vmax", "vsum", "nonzero", "npx")
+
+
+# ===================================================================
+# CSV report sink roundtrip (S15)
+# ===================================================================
+
+
+def _o_csv_report(sf_dir: str) -> str:
+    from .queries_ext import _o_presence_stats
+
+    return _o_presence_stats(sf_dir)
+
+
+@q("csv_report_roundtrip", _o_csv_report)
+def csv_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV report sink roundtrip (SURVEY S15; ref species_presence.py:
+    169-191): presence report -> write_report_csv -> re-read with explicit
+    schema — the persisted report must equal the in-memory one."""
+    from .queries_ext import species_presence_stats
+
+    rep = species_presence_stats(spark, sf_dir)
+    path = _cache(sf_dir, "report") + ".csv"
+    sinks.write_report_csv(rep, path)
+    return spark.read.csv(
+        path,
+        header=True,
+        schema="s int, n_present bigint, coverage_pct double, "
+        "mean_nonzero double, max_v double",
+    )
+
+
+# ===================================================================
+# Batch-export manifest (S8) + bbox validation (P8)
+# ===================================================================
+
+
+def _o_manifest(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.tiles_cte(spec)}
+SELECT image_id, s::INT AS s, tx::INT AS tx, ty::INT AS ty, 'rawz' AS fmt
+FROM tiles"""
+
+
+@q("export_manifest", _o_manifest)
+def export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-export manifest fan-out (SURVEY S8; ref api.py export loop):
+    one row per (species, tile) with the target encoding — the work list a
+    distributed exporter partitions over."""
+    return tgen.manifest_df(spark, spec_for_sf_dir(sf_dir))
+
+
+def _o_bbox(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    x0, y0, x1, y1 = spec.extent
+    return f"""WITH {osql.tiles_cte(spec)}
+SELECT image_id, xmin, ymin, xmax, ymax,
+       CAST(CASE WHEN xmin < xmax AND ymin < ymax
+                  AND xmin >= {x0!r} AND xmax <= {x1!r}
+                  AND ymin >= {y0!r} AND ymax <= {y1!r} THEN 1 ELSE 0 END AS INT)
+         AS in_extent
+FROM tiles"""
+
+
+@q("bbox_validation", _o_bbox)
+def bbox_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile bbox derivation + validation (SURVEY P8; ref zarr_utils.py:
+    988-996): bbox columns from metadata alone (no decode), validity flag
+    against the dataset extent."""
+    spec = spec_for_sf_dir(sf_dir)
+    x0, y0, x1, y1 = spec.extent
+    meta = decode.with_tile_meta(tgen.ensure_tiles(spark, sf_dir))
+    ok = (
+        (F.col("xmin") < F.col("xmax"))
+        & (F.col("ymin") < F.col("ymax"))
+        & (F.col("xmin") >= x0)
+        & (F.col("xmax") <= x1)
+        & (F.col("ymin") >= y0)
+        & (F.col("ymax") <= y1)
+    )
+    return meta.select(
+        "image_id", "xmin", "ymin", "xmax", "ymax", ok.cast("int").alias("in_extent")
+    )
+
+
+# ===================================================================
+# Incremental streaming zonal (§2.9)
+# ===================================================================
+
+
+def _o_streaming_zonal(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.total_cte(spec)},
+{osql.counties_cte(spec)}
+SELECT c.poly_id AS poly_id, CAST(0 AS INT) AS s,
+       COUNT(*)::BIGINT AS n_px,
+       CAST(SUM(t.v) AS DOUBLE) AS sum_v,
+       CAST(MAX(t.v) AS DOUBLE) AS max_v,
+       CAST(SUM(CASE WHEN t.v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero_px
+FROM total t JOIN counties c
+  ON t.x > c.xmin AND t.x < c.xmax AND t.y > c.ymin AND t.y < c.ymax
+GROUP BY c.poly_id"""
+
+
+@q("streaming_zonal", _o_streaming_zonal)
+def streaming_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental zonal via Structured Streaming (SURVEY §2.9, engine
+    extension): AvailableNow file-source pass over the tile store ->
+    idempotent per-batch partial writes (batch=<id> overwrite) -> grouped
+    read of the partials. The streaming answer must equal the batch plan —
+    checked against the same oracle as the flagship zonal query."""
+    from .streaming import incremental as inc
+
+    tgen.ensure_tiles(spark, sf_dir)  # materialize the parquet store
+    tiles_path = tgen.tiles_path(sf_dir)
+    work = _cache(sf_dir, "stream")
+    shutil.rmtree(work, ignore_errors=True)
+    polys = tgen.polygons_df(spark, sf_dir).filter(F.col("is_rect"))
+    inc.incremental_zonal(
+        spark, tiles_path, polys, work, species=0, res=_join_res(sf_dir)
+    )
+    out = inc.zonal_result(spark, work)
+    return out.select("poly_id", "s", "n_px", "sum_v", "max_v", "nonzero_px")
+
+
+# product/statistics queries (render, threshold kernels, bootstrap CI) —
+# imported last so their @q registrations land in the shared registry
+from . import queries_products  # noqa: E402,F401

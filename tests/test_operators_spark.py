@@ -291,3 +291,56 @@ class TestManyPolygons:
             )
             vals = cube[0][inside].astype(np.float64)
             assert fast[pid] == (int(vals.size), float(vals.sum()))
+
+    def _poly_grid(self, spark, n=10):
+        w_m, h_m = SPEC.gw * PIX, SPEC.gh * PIX
+        wc, hc = w_m / n, h_m / n
+        rows = []
+        for j in range(n):
+            for i in range(n):
+                rings = geom.rect_polygon(
+                    X0 + i * wc, Y0 - (j + 1) * hc, X0 + (i + 1) * wc, Y0 - j * hc
+                )
+                xmin, ymin, xmax, ymax = geom.polygon_bounds(rings)
+                rows.append(
+                    (f"G{j:02d}{i:02d}", f"g{j}{i}", bytearray(geom.polygon_to_wkb(rings)),
+                     xmin, ymin, xmax, ymax, True)
+                )
+        return spark.createDataFrame(
+            rows,
+            "poly_id string, name string, geom_wkb binary, "
+            "xmin double, ymin double, xmax double, ymax double, is_rect boolean",
+        )
+
+    def test_distributed_covering_equals_driver_covering(self, spark, tiles):
+        """polygon_cells_dist (mapInPandas) must produce the identical
+        covering set as the driver-side polygon_cells_df, and the zonal
+        result through the distributed path must match the broadcast path —
+        on the 100-county dense grid plus the concave fixtures."""
+        from gridfia_spark.operators import broadcast_join
+
+        dense = self._poly_grid(spark)
+        concave = tgen.polygons_df(spark, "sf0.001").filter(~F.col("is_rect"))
+        polys = dense.unionByName(concave)
+        drv = {
+            (r.poly_id, r.cell_id, r.fully_inside)
+            for r in spatial_join.polygon_cells_df(spark, polys, res=16).collect()
+        }
+        dist = {
+            (r.poly_id, r.cell_id, r.fully_inside)
+            for r in spatial_join.polygon_cells_dist(polys, res=16).collect()
+        }
+        assert dist == drv and len(dist) > 0
+
+        via_dist = {
+            r.poly_id: (r.n_px, r.sum_v)
+            for r in zonal.zonal_stats(
+                tiles, polys, species=0, res=16, distributed=True
+            ).collect()
+        }
+        via_bcast = {
+            r.poly_id: (r.n_px, r.sum_v)
+            for r in broadcast_join.zonal_stats_fast(tiles, polys, species=0, res=16).collect()
+        }
+        assert via_dist == via_bcast
+        assert len(via_dist) >= 100  # every dense cell + overlapping concave
