@@ -64,22 +64,24 @@ def run_bench() -> dict:
     from gridfia_spark.session import get_spark
 
     spark = get_spark(cores=CPUS, app_name="gridfia-bench")
-    # warm: materialize tile cache, JVM JIT, and Python UDF workers
-    # (pandas/pyarrow import in each worker) — excluded from timings
+    # warm: materialize tile cache, JVM JIT, and the Python UDF worker pool
+    # (pandas/pyarrow import per worker; the pool needs ~3 runs to fully warm
+    # at 32 cores) — excluded from timings
     tgen.ensure_tiles(spark, SF_DIR).count()
-    flagship_job(spark, SF_DIR)
+    for _ in range(3):
+        flagship_job(spark, SF_DIR)
     timings: dict[str, float] = {}
     for name, fn in _headline_queries().items():
         best = float("inf")
-        for _ in range(2):  # best-of-2: first run absorbs plan/JIT warmup
+        for _ in range(3):  # best-of-3: early runs absorb plan/JIT warmup
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    # flagship throughput at the configured parallelism (best of 2)
+    # flagship throughput at the configured parallelism (best of 3)
     flagship_s = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         n_images = flagship_job(spark, SF_DIR)
         flagship_s = min(flagship_s, time.time() - t0)
@@ -105,6 +107,50 @@ def run_bench() -> dict:
         with open(rec_path) as fh:
             result["scaling_recorded"] = json.load(fh)
     return result
+
+
+def host_calibration(n_tasks: int = 64, levels=(2, 8)) -> dict:
+    """Measure the HOST's own thread-scaling with a pure-CPU pandas-UDF burn
+    job (no I/O, no engine code). The engine's scaling efficiency can never
+    exceed the hardware's curve, so every scaling record carries this
+    context — on a shared VM the ceiling moves run to run."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gridfia_spark.session import get_spark
+
+    def burn_once(spark):
+        df = spark.range(n_tasks).repartition(n_tasks)
+
+        def work(batches):
+            for pdf in batches:
+                s = 0.0
+                for _ in range(len(pdf)):
+                    a = np.arange(3_000_000, dtype=np.float64)
+                    s += float(np.sqrt(a * 1.0001 + 3.7).sum())
+                yield pd.DataFrame({"s": [s]})
+
+        return df.mapInPandas(work, "s double").agg(F.sum("s")).first()[0]
+
+    out = {}
+    for cores in levels:
+        spark = get_spark(cores=cores, app_name=f"gridfia-burn-{cores}")
+        burn_once(spark)  # warm the worker pool
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            burn_once(spark)
+            times.append(time.time() - t0)
+        spark.stop()
+        out[f"local[{cores}]"] = {
+            "sec_median3": round(sorted(times)[1], 3),
+            "all_runs_sec": [round(t, 3) for t in times],
+        }
+    lo, hi = f"local[{levels[0]}]", f"local[{levels[1]}]"
+    ratio = out[lo]["sec_median3"] / out[hi]["sec_median3"]
+    out["host_efficiency"] = round(ratio / (levels[1] / levels[0]), 3)
+    return out
 
 
 def run_scaling() -> dict:
@@ -152,11 +198,14 @@ def run_scaling() -> dict:
     t32 = out["local[32]"]["images_per_sec"]
     out["scaling_efficiency_2_to_8"] = round((t8 / t2) / 4.0, 3)
     out["scaling_efficiency_8_to_32"] = round((t32 / t8) / 4.0, 3)
+    # measure the measuring stick: the hardware's own 2->8 curve, same moment
+    out["host_calibration"] = host_calibration()
     rec = {
         "pair": "local[2] -> local[8] (N -> 4N cores)",
         "images": out["local[2]"]["images"],
         "images_per_sec": {lvl: out[lvl]["images_per_sec"] for lvl in ("local[2]", "local[8]", "local[32]")},
         "efficiency_2_to_8": out["scaling_efficiency_2_to_8"],
+        "host_efficiency_2_to_8": out["host_calibration"]["host_efficiency"],
         "see": "BENCH/BASELINE.md",
     }
     rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

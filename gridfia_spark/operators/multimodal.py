@@ -11,7 +11,7 @@ works unchanged. The engine's own raster codecs double as the working
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -24,9 +24,36 @@ MEDIA_SCHEMA = (
     "w int, h int, n_frames int, sample_rate int, caption string"
 )
 
+# Pluggable media-codec registry: register_decoder('png', PIL_based_fn) and
+# every multimodal operator decodes that format. Each operator SNAPSHOTS the
+# registry into its closure (dict(_MEDIA_DECODERS)) so driver-side
+# registrations serialize into the Arrow-UDF tasks — module-level state
+# alone would not survive the worker's fresh import.
+_MEDIA_DECODERS: dict[str, Callable[[bytes, int, int], np.ndarray]] = {}
 
-def _decode_media(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
-    """Single-frame decode -> (h, w) float32. Real codecs are stubs."""
+
+def register_decoder(fmt: str, fn: Callable[[bytes, int, int], np.ndarray]) -> None:
+    """Plug in a real media codec, e.g.
+    ``register_decoder('png', lambda b, w, h: np.asarray(PIL.Image.open(io.BytesIO(b))))``."""
+    _MEDIA_DECODERS[fmt] = fn
+
+
+def unregister_decoder(fmt: str) -> None:
+    _MEDIA_DECODERS.pop(fmt, None)
+
+
+def _decode_media(
+    data: bytes,
+    fmt: str,
+    w: int,
+    h: int,
+    decoders: dict[str, Callable] | None = None,
+) -> np.ndarray:
+    """Single-frame decode -> (h, w) float32. Real codecs are stubs until a
+    decoder is registered."""
+    decoders = _MEDIA_DECODERS if decoders is None else decoders
+    if fmt in decoders:
+        return np.asarray(decoders[fmt](data, w, h), dtype=np.float32)
     if fmt in codecs.ALL_FMTS:
         return codecs.decode(data, w, h, fmt)
     if fmt == "fake64":
@@ -37,7 +64,7 @@ def _decode_media(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if fmt in ("png", "jpeg", "webp", "mp3", "wav", "h264"):
         raise NotImplementedError(
             f"media codec {fmt!r} needs PIL/ffmpeg (not in this sandbox); "
-            "register a decoder in multimodal._MEDIA_DECODERS"
+            "register one with multimodal.register_decoder"
         )
     raise ValueError(f"unknown media fmt {fmt!r}")
 
@@ -46,6 +73,7 @@ def extract_features(media: DataFrame) -> DataFrame:
     """Decode + per-frame feature extraction (mean/std/entropy-proxy/edges)
     in one ``mapInPandas`` pass — the image-pipeline analogue of the metric
     kernels."""
+    decs = dict(_MEDIA_DECODERS)  # snapshot: registrations ride the closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -57,7 +85,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                         int(r.n_frames), int(r.h), int(r.w)
                     )[0]
                 else:
-                    arr = _decode_media(r.bytes, r.fmt, int(r.w), int(r.h))
+                    arr = _decode_media(r.bytes, r.fmt, int(r.w), int(r.h), decs)
                 gx = np.abs(np.diff(arr, axis=1)).mean() if arr.shape[1] > 1 else 0.0
                 gy = np.abs(np.diff(arr, axis=0)).mean() if arr.shape[0] > 1 else 0.0
                 out.append(
@@ -85,12 +113,13 @@ def extract_features(media: DataFrame) -> DataFrame:
 def resize(media: DataFrame, out_w: int, out_h: int, fmt: str = "raw32") -> DataFrame:
     """Block-mean resize (integer factors) of each frame, re-encoded — the
     thumbnailing stage of an image pipeline."""
+    decs = dict(_MEDIA_DECODERS)  # snapshot: registrations ride the closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                arr = _decode_media(r.bytes, r.fmt, int(r.w), int(r.h))
+                arr = _decode_media(r.bytes, r.fmt, int(r.w), int(r.h), decs)
                 fy, fx = max(arr.shape[0] // out_h, 1), max(arr.shape[1] // out_w, 1)
                 clipped = arr[: out_h * fy, : out_w * fx]
                 small = clipped.reshape(out_h, fy, out_w, fx).mean(axis=(1, 3))

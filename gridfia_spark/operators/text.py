@@ -207,6 +207,57 @@ def simhash64(docs: DataFrame, k: int = 5) -> DataFrame:
     return agg.select("doc_id", val.alias("simhash"))
 
 
+def near_dup_components(pairs: DataFrame, docs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    gets the component id = min doc_id reachable through near-dup edges
+    (the canonical-representative assignment of a dedup pipeline; singletons
+    are their own component).
+
+    Algorithm: distributed min-label propagation to fixpoint — each round
+    joins labels across edges and takes the elementwise min; converges in
+    O(graph diameter) rounds (near-dup clusters are tiny, so a handful).
+    Each round is one shuffle of (node, label) pairs; the edge list is
+    cached. The driver-side loop checks a scalar convergence count only —
+    no data ever collects."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
+    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("comp"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "comp",
+        (F.col("node") == F.col("comp")).cast("int").alias("is_canonical"),
+    )
+
+
 def lang_scores(docs: DataFrame) -> DataFrame:
     """n-gram/stopword language-ID heuristic: per-language stopword hit
     counts + predicted language (argmax, ties -> lexicographic)."""

@@ -396,10 +396,13 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=5, threshold=0.5)
 
 
-@q("minhash_lsh_pairs", None)  # rows-only: LSH banding not SQL-expressible
+@q("minhash_lsh_pairs", _o_ngram_jaccard)
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, Jaccard-verified (exact output, LSH
-    pruning). Checked against ngram_jaccard_pairs in pytest."""
+    """MinHash+LSH near-dup pairs, Jaccard-verified. The output contract is
+    EXACT — LSH only prunes candidates, the emitted jaccard is the true
+    shingle-set Jaccard — so the exact all-pairs SQL is a valid oracle
+    whenever banding recall is 1.0 on the (fixed, deterministic) testdata;
+    pytest separately asserts LSH == brute force on engineered near-dups."""
     return text.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), k=5, n_hashes=32, bands=16, threshold=0.5
     )

@@ -179,6 +179,138 @@ def zonal_many_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Near-dup connected components (dedup-group assignment)
+# ===================================================================
+
+
+def _o_dedup_components(sf_dir: str) -> str:
+    from .queries_ext import _o_ngram_jaccard
+
+    return f"""WITH RECURSIVE p AS ({_o_ngram_jaccard(sf_dir)}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM p
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM p
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS comp,
+       CAST(CASE WHEN node = MIN(r) THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM reach GROUP BY node"""
+
+
+@q("dedup_components", _o_dedup_components)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate connected components: MinHash-LSH pairs -> distributed
+    min-label propagation -> one canonical doc per dedup group (the
+    keep-one-representative stage of a corpus-dedup pipeline). The oracle
+    recomputes the components with a recursive CTE over the exact-Jaccard
+    pair graph."""
+    from .operators import text
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = text.minhash_lsh_pairs(docs, k=5, n_hashes=32, bands=16, threshold=0.5)
+    return text.near_dup_components(pairs, docs)
+
+
+# ===================================================================
+# Windowed running stats over the event stream (W-family breadth)
+# ===================================================================
+
+
+def _o_moving_avg(sf_dir: str) -> str:
+    return """SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS cum_value,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)::INT AS seq
+FROM events"""
+
+
+@q("moving_avg_events", _o_moving_avg)
+def moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 7-row moving average + running total + sequence number over
+    the event stream — the rolling-statistics window family."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w7 = order.rowsBetween(-6, Window.currentRow)
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w7), 6).alias("ma7"),
+        F.round(F.sum("value").over(cum), 6).alias("cum_value"),
+        F.row_number().over(order).cast("int").alias("seq"),
+    )
+
+
+# ===================================================================
+# TPC-H Q7-style two-nation trade volume
+# ===================================================================
+
+
+def _o_tpch_q7(sf_dir: str) -> str:
+    # revenue in exact integer cent-arithmetic: price and discount are
+    # 2-decimal values, so sum(price_cents * (100 - disc_cents)) is an exact
+    # int64 — immune to the float summation-order half-cent boundary that
+    # bites ROUND(SUM(double), 2) on small groups
+    return """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       strftime(l_shipdate, '%Y') AS l_year,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+             / 10000.0, 2) AS revenue,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name < sn.n_name
+GROUP BY cn.n_name, sn.n_name, strftime(l_shipdate, '%Y')"""
+
+
+@q("tpch_q7", _o_tpch_q7)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style cross-nation trade volume: 6-way join (broadcast dims
+    on both legs) + yearly rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return j.groupBy(
+        "cust_nation", "supp_nation", F.date_format("l_shipdate", "yyyy").alias("l_year")
+    ).agg(
+        F.round(F.sum(cents).cast("double") / 10000.0, 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# ===================================================================
 # Bootstrap percentile CI (ref parallel_processing.py:352)
 # ===================================================================
 

@@ -135,6 +135,28 @@ class TestMultimodal:
         with pytest.raises(Exception, match="needs PIL/ffmpeg"):
             multimodal.extract_features(media.filter(F.col("fmt") == "png")).collect()
 
+    def test_decoder_registration(self, spark, media):
+        """Registering a codec makes every operator decode that format —
+        including inside Spark tasks (the registry snapshot must ride the
+        UDF closure into the worker processes)."""
+
+        def fake_png(data: bytes, w: int, h: int):
+            return np.full((h, w), float(len(data)), dtype=np.float32)
+
+        multimodal.register_decoder("png", fake_png)
+        try:
+            out = multimodal.extract_features(
+                media.filter(F.col("fmt") == "png")
+            ).collect()
+            assert len(out) == 1 and out[0].mean_v == pytest.approx(7.0)  # len(b"\x89PNG...")
+            rs = multimodal.resize(media.filter(F.col("fmt") == "png"), 2, 2).first()
+            assert (rs.w, rs.h) == (2, 2)
+        finally:
+            multimodal.unregister_decoder("png")
+        # after unregister the stub contract is back
+        with pytest.raises(Exception, match="needs PIL/ffmpeg"):
+            multimodal.extract_features(media.filter(F.col("fmt") == "png")).collect()
+
     def test_resize(self, spark, media):
         out = multimodal.resize(media.filter(F.col("media_id") == "img1"), 8, 8).first()
         assert (out.w, out.h) == (8, 8)

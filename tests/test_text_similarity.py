@@ -55,6 +55,34 @@ class TestMinhashLSH:
         assert all(len(r.signature) == 16 for r in sig)
 
 
+class TestNearDupComponents:
+    def test_components_match_transitive_closure(self, spark, docs):
+        """Min-label propagation must produce the transitive closure of the
+        pair graph: {0,1,2,3,6} form one chain-connected cluster (even when
+        some pairs only connect through an intermediate doc), 4 and 5 stay
+        singletons."""
+        pairs = text.ngram_jaccard_pairs(docs, k=5, threshold=0.5)
+        out = {r.doc_id: (r.comp, r.is_canonical) for r in
+               text.near_dup_components(pairs, docs).collect()}
+        cluster = {0, 1, 2, 3, 6}
+        assert all(out[d][0] == 0 for d in cluster)
+        assert out[4] == (4, 1) and out[5] == (5, 1)
+        assert out[0][1] == 1 and out[1][1] == 0
+
+    def test_chain_requires_iteration(self, spark):
+        """A 4-link chain (0-1, 1-2, 2-3) converges to a single component —
+        needs >1 propagation round, exercising the fixpoint loop."""
+        docs = spark.createDataFrame(
+            [(i, f"d{i}", "s") for i in range(5)], "doc_id long, text string, source string"
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1, 0.9), (1, 2, 0.9), (2, 3, 0.9)],
+            "doc_a long, doc_b long, jaccard double",
+        )
+        out = {r.doc_id: r.comp for r in text.near_dup_components(pairs, docs).collect()}
+        assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4}
+
+
 class TestSimhash:
     def test_one_row_per_doc_and_dups_collide(self, spark, docs):
         out = {r.doc_id: r.simhash for r in text.simhash64(docs).collect()}
