@@ -179,6 +179,84 @@ def zonal_many_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Explicit skew handling through the driver gate (north rule)
+# ===================================================================
+
+
+def _o_pip_salted(sf_dir: str) -> str:
+    from .queries import _o_pip
+
+    return _o_pip(sf_dir)
+
+
+@q("pip_points_salted", _o_pip_salted)
+def pip_points_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join through the EXPLICIT salting path (north rule
+    skew handling, operators/skew.py): threshold=0 forces every cell through
+    the salted k=8 join, so the whole query exercises hot-key replication +
+    probe-side salting; rows must equal the unsalted pip_points oracle."""
+    from .operators import skew, spatial_join
+
+    pts = tgen.points_df(spark, sf_dir)
+    polys = tgen.polygons_df(spark, sf_dir).filter(F.col("is_rect"))
+    res = _join_res(sf_dir)
+    cells = spatial_join.polygon_cells_df(spark, polys, res)
+    p = spatial_join.with_point_cells(pts, res)
+    cand = skew.salted_join(p, cells, on="cell_id", k=8, threshold=0)
+    sure = cand.filter(F.col("fully_inside")).drop("fully_inside", "cell_id")
+    maybe = cand.filter(~F.col("fully_inside")).drop("fully_inside", "cell_id")
+    out = sure.unionByName(spatial_join._pip_refine(maybe, polys))
+    return out.select("point_id", "poly_id")
+
+
+# ===================================================================
+# Iceberg-layout store roundtrip (S2 / sources/table.py)
+# ===================================================================
+
+
+def _o_table_layout(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.tiles_cte(spec)}
+SELECT substr(image_id, 3, 4) AS species_code,
+       COUNT(*)::BIGINT AS n_tiles,
+       MIN(image_id) AS min_id,
+       MAX(image_id) AS max_id
+FROM tiles GROUP BY substr(image_id, 3, 4)"""
+
+
+@q("table_layout_roundtrip", _o_table_layout)
+def table_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-first table layer roundtrip (sources/table.py): enrich tile
+    rows with the physical layout keys (species_code, tile coords, cell_id),
+    write the partitioned store (Iceberg on a cluster; layout-equivalent
+    Parquet here), re-read with a partition-pruned scan shape and report the
+    per-species census."""
+    from .sources import table as tbl
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    store = _cache_path(sf_dir, "store") + ".parquet"
+    tbl.write_tiles(tiles, store, join_res=_join_res(sf_dir))
+    # partition-column type inference strips the zero padding ('0068' -> 68);
+    # Iceberg keeps the declared string type — restore it for the Parquet
+    # fallback so both backends present the same schema
+    back = spark.read.parquet(store).withColumn(
+        "species_code", F.lpad(F.col("species_code").cast("string"), 4, "0")
+    )
+    return back.groupBy("species_code").agg(
+        F.count("*").alias("n_tiles"),
+        F.min("image_id").alias("min_id"),
+        F.max("image_id").alias("max_id"),
+    )
+
+
+def _cache_path(sf_dir: str, name: str) -> str:
+    import os
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(tgen.CACHE_ROOT, f"{name}_{tag}")
+
+
+# ===================================================================
 # Near-dup connected components (dedup-group assignment)
 # ===================================================================
 
