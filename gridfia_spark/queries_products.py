@@ -257,6 +257,88 @@ def _cache_path(sf_dir: str, name: str) -> str:
 
 
 # ===================================================================
+# As-of join (point-in-time lookup over the event stream)
+# ===================================================================
+
+
+def _o_asof(sf_dir: str) -> str:
+    return """WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id AS event_id, c.user_id AS user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       ROUND(c.value, 6) AS value,
+       ROUND(p.value, 6) AS asof_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts"""
+
+
+@q("asof_events", _o_asof)
+def asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event annotated with the user's most recent
+    purchase value at or before the click (operators/asof.py — union + one
+    window pass, no range explosion); oracle is DuckDB's native ASOF JOIN."""
+    from .operators import asof
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof.asof_join(clicks, purch, on=["user_id"], ts="ts", right_vals=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 6).alias("value"),
+        F.round("asof_value", 6).alias("asof_value"),
+    )
+
+
+# ===================================================================
+# Banded range join (interval containment as an equi-join)
+# ===================================================================
+
+_TIERS = [(f"T{i}", float(lo), float(hi)) for i, (lo, hi) in enumerate(
+    [(0, 1), (1, 5), (5, 20), (20, 50), (50, 100), (100, 200), (200, 350), (350, 500)]
+)]
+
+
+def _o_range_join(sf_dir: str) -> str:
+    rows = ",".join(f"('{t}',{lo!r},{hi!r})" for t, lo, hi in _TIERS)
+    return f"""WITH tiers(tier, lo, hi) AS (SELECT * FROM (VALUES {rows}) v(tier, lo, hi))
+SELECT t.tier AS tier,
+       COUNT(*)::BIGINT AS n_events,
+       -- exact cent-integer sum: immune to float summation order
+       ROUND(CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 6) AS sum_value
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier"""
+
+
+@q("range_join_tiers", _o_range_join)
+def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-tier assignment via the banded range join
+    (operators/rangejoin.py): interval containment as a bucket equi-join +
+    residual filter — no nested-loop comparisons; oracle is the plain
+    non-equi join."""
+    from .operators import rangejoin
+
+    ev = _t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    j = rangejoin.range_join(ev, tiers, val="value", bucket_width=50.0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return j.groupBy("tier").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(cents).cast("double") / 100.0, 6).alias("sum_value"),
+    )
+
+
+# ===================================================================
 # Near-dup connected components (dedup-group assignment)
 # ===================================================================
 

@@ -92,3 +92,92 @@ class TestStatefulMonitor:
             for r in stateful.batch_activity_monitor(events, threshold=50.0).collect()
         }
         assert got == want and len(want) > 0
+
+
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof(self, spark):
+        """asof_join == pandas merge_asof(direction='backward') per key."""
+        import numpy as np
+        import pandas as pd
+
+        from gridfia_spark.operators import asof
+
+        rng = np.random.default_rng(11)
+        lpdf = pd.DataFrame(
+            {
+                "k": rng.integers(0, 4, 60),
+                "ts": rng.integers(0, 1000, 60).astype("int64"),
+                "lv": rng.normal(size=60),
+            }
+        ).drop_duplicates(["k", "ts"])
+        rpdf = pd.DataFrame(
+            {
+                "k": rng.integers(0, 4, 40),
+                "ts": rng.integers(0, 1000, 40).astype("int64"),
+                "rv": rng.normal(size=40),
+            }
+        ).drop_duplicates(["k", "ts"])
+        out = asof.asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            on=["k"],
+            ts="ts",
+            right_vals=["rv"],
+        ).toPandas()
+        want = pd.merge_asof(
+            lpdf.sort_values("ts"), rpdf.sort_values("ts"),
+            on="ts", by="k", direction="backward",
+        ).rename(columns={"rv": "asof_rv"})
+        got = out.sort_values(["k", "ts"]).reset_index(drop=True)
+        want = want.sort_values(["k", "ts"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["k", "ts", "lv", "asof_rv"]], want[["k", "ts", "lv", "asof_rv"]]
+        )
+
+    def test_inclusive_and_missing(self, spark):
+        from gridfia_spark.operators import asof
+
+        left = spark.createDataFrame(
+            [(1, 10, "a"), (1, 5, "b"), (2, 7, "c")], "k int, ts int, tag string"
+        )
+        right = spark.createDataFrame(
+            [(1, 10, 100.0), (1, 4, 40.0)], "k int, ts int, v double"
+        )
+        out = {
+            r.tag: r.asof_v
+            for r in asof.asof_join(left, right, ["k"], "ts", ["v"]).collect()
+        }
+        assert out["a"] == 100.0  # equal ts is inclusive
+        assert out["b"] == 40.0
+        assert out["c"] is None  # key with no right rows -> null
+
+
+class TestRangeJoin:
+    def test_equals_theta_join(self, spark):
+        """Banded range join == plain non-equi join on random values/ranges,
+        including ranges wider than the bucket and values outside any range."""
+        import numpy as np
+        import pandas as pd
+
+        from gridfia_spark.operators import rangejoin
+
+        rng = np.random.default_rng(3)
+        vals = spark.createDataFrame(
+            pd.DataFrame({"row_id": range(300), "v": rng.uniform(-20, 520, 300)})
+        )
+        ranges = spark.createDataFrame(
+            [("R0", -10.0, 0.5), ("R1", 0.5, 130.0), ("R2", 130.0, 131.0),
+             ("R3", 250.0, 500.0), ("R4", 1000.0, 2000.0)],
+            "tier string, lo double, hi double",
+        )
+        banded = {
+            (r.row_id, r.tier)
+            for r in rangejoin.range_join(vals, ranges, "v", bucket_width=37.0).collect()
+        }
+        theta = {
+            (r.row_id, r.tier)
+            for r in vals.join(
+                ranges, (vals.v >= ranges.lo) & (vals.v < ranges.hi)
+            ).collect()
+        }
+        assert banded == theta and len(theta) > 0
