@@ -301,6 +301,60 @@ def asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# applyInPandasWithState custom stateful operator at the driver gate
+# ===================================================================
+
+
+def _o_stateful(sf_dir: str) -> str:
+    return """WITH run AS (
+  SELECT user_id, ts, value,
+         SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM events
+),
+crossed AS (
+  SELECT user_id, MIN(ts) AS crossed_at FROM run WHERE cum >= 100.005 GROUP BY user_id
+),
+tot AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_events, SUM(value) AS sum_value
+  FROM events GROUP BY user_id
+)
+SELECT t.user_id AS user_id, t.n_events AS n_events,
+       ROUND(t.sum_value, 6) AS sum_value,
+       strftime(c.crossed_at, '%Y-%m-%d %H:%M:%S') AS crossed_at
+FROM tot t LEFT JOIN crossed c ON t.user_id = c.user_id"""
+
+
+@q("stateful_monitor", _o_stateful)
+def stateful_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/stateful.py) through the oracle gate: one AvailableNow pass of
+    the per-user running activity monitor (count + running sum + threshold
+    crossing time, state in the checkpoint); final state must equal the
+    batch window-function semantics. The 100.005 threshold sits off the
+    2-decimal value grid, so the crossing comparison cannot flip on float
+    summation order."""
+    import shutil
+
+    from .streaming import stateful
+
+    ev = _t(spark, sf_dir, "events")
+    stage = _cache_path(sf_dir, "monstage")
+    work = _cache_path(sf_dir, "monwork")
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)
+    ev.write.mode("overwrite").parquet(stage)
+    stateful.stream_activity_monitor(spark, stage, work, threshold=100.005)
+    out = stateful.monitor_result(spark, work)
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.date_format("crossed_at", "yyyy-MM-dd HH:mm:ss").alias("crossed_at"),
+    )
+
+
+# ===================================================================
 # Banded range join (interval containment as an equi-join)
 # ===================================================================
 

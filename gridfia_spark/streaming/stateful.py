@@ -34,9 +34,15 @@ def _monitor(threshold: float):
             n, s, crossed = state.get
         else:
             n, s, crossed = 0, 0.0, None
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, v in zip(pdf["ts"], pdf["value"]):
+        # gather the whole micro-batch for this key, then fold in global
+        # (ts, event_id) order — Arrow chunk arrival order is shuffle-fetch
+        # order, i.e. nondeterministic; sorting per chunk is not enough
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks, ignore_index=True)
+            keys = ["ts", "event_id"] if "event_id" in allpdf.columns else ["ts"]
+            allpdf = allpdf.sort_values(keys)
+            for ts, v in zip(allpdf["ts"], allpdf["value"]):
                 n += 1
                 s += float(v)
                 if crossed is None and s >= threshold:
