@@ -257,6 +257,78 @@ def _cache_path(sf_dir: str, name: str) -> str:
 
 
 # ===================================================================
+# Zonal percentiles (distribution-shape zonal family)
+# ===================================================================
+
+
+def _o_zonal_pct(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.total_cte(spec)},
+{osql.counties_cte(spec)}
+SELECT c.poly_id AS poly_id,
+       ROUND(quantile_cont(t.v, 0.25), 6) AS p25,
+       ROUND(quantile_cont(t.v, 0.50), 6) AS p50,
+       ROUND(quantile_cont(t.v, 0.90), 6) AS p90
+FROM total t JOIN counties c
+  ON t.x > c.xmin AND t.x < c.xmax AND t.y > c.ymin AND t.y < c.ymax
+GROUP BY c.poly_id"""
+
+
+@q("zonal_percentiles", _o_zonal_pct)
+def zonal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-county exact percentiles (p25/p50/p90) of the total-biomass pixel
+    distribution — the distribution-shape zonal family beyond sum/mean
+    (A19 extension). Exact percentile here for the oracle gate; at cluster
+    scale swap in approx_percentile's mergeable t-digest so the values
+    never concentrate on one reducer."""
+    from .operators import spatial_join
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    px = decode.pixels_long(tiles, species=[0]).select("v", "x", "y")
+    polys = tgen.polygons_df(spark, sf_dir).filter(F.col("is_rect"))
+    joined = spatial_join.join_points_polygons(px, polys, res=_join_res(sf_dir))
+    return (
+        joined.groupBy("poly_id")
+        .agg(F.expr("percentile(v, array(0.25, 0.5, 0.9))").alias("p"))
+        .select(
+            "poly_id",
+            F.round(F.col("p")[0], 6).alias("p25"),
+            F.round(F.col("p")[1], 6).alias("p50"),
+            F.round(F.col("p")[2], 6).alias("p90"),
+        )
+    )
+
+
+# ===================================================================
+# Semi/anti joins (relational completeness)
+# ===================================================================
+
+
+def _o_dormant(sf_dir: str) -> str:
+    return """SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')"""
+
+
+@q("dormant_customers", _o_dormant)
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join in one query: customers with at least one order ever
+    (left_semi) but none on/after 1998-01-01 (left_anti)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+# ===================================================================
 # As-of join (point-in-time lookup over the event stream)
 # ===================================================================
 
