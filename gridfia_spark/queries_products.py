@@ -257,6 +257,114 @@ def _cache_path(sf_dir: str, name: str) -> str:
 
 
 # ===================================================================
+# Event funnel (staged sequence analysis over the event stream)
+# ===================================================================
+
+
+def _o_funnel(sf_dir: str) -> str:
+    return """WITH s AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.t1 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT 'signup' AS stage, (SELECT COUNT(*) FROM s)::BIGINT AS n_users
+UNION ALL SELECT 'click_after_signup', (SELECT COUNT(*) FROM c)::BIGINT
+UNION ALL SELECT 'purchase_after_click', (SELECT COUNT(*) FROM p)::BIGINT"""
+
+
+@q("funnel_stages", _o_funnel)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged funnel over the event stream: users who signed up, then
+    clicked after signing up, then purchased after that click — the
+    ordered-sequence analysis of product/event pipelines (each stage is a
+    min-timestamp aggregate + a time-ordered semi-join; no per-user
+    collection)."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        ("signup", s.count()),
+        ("click_after_signup", c.count()),
+        ("purchase_after_click", p.count()),
+    ]
+    return spark.createDataFrame(rows, "stage string, n_users long")
+
+
+# ===================================================================
+# CUBE zonal aggregation (full grouping-set lattice)
+# ===================================================================
+
+
+def _o_zonal_cube(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.val_cte(spec)},
+allpx AS (
+  SELECT s, v,
+         {osql.X0_SQL} + gx*30.0 + 15.0 AS x,
+         {osql.Y0_SQL} - gy*30.0 - 15.0 AS y
+  FROM val
+),
+{osql.counties_cte(spec)},
+joined AS (
+  SELECT c.poly_id, p.s, p.v
+  FROM allpx p JOIN counties c
+    ON p.x > c.xmin AND p.x < c.xmax AND p.y > c.ymin AND p.y < c.ymax
+)
+SELECT COALESCE(poly_id, 'ALL') AS poly_id,
+       COALESCE(s::VARCHAR, 'ALL') AS s,
+       CAST(SUM(v) AS DOUBLE) AS sum_v,
+       COUNT(*)::BIGINT AS n_px
+FROM joined GROUP BY CUBE (poly_id, s)"""
+
+
+@q("zonal_cube", _o_zonal_cube)
+def zonal_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-set lattice via CUBE: per (county, species), per-county
+    subtotals, per-species subtotals across all counties, and the grand
+    total — one pass over the map-side zonal partials."""
+    from . import grid
+    from .constants import PIX
+    from .operators import broadcast_join
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    polys = tgen.polygons_df(spark, sf_dir).filter(F.col("is_rect"))
+    res = grid.res_for_size(spec_for_sf_dir(sf_dir).tile_w * PIX * 2)
+    species_tiles = tiles.filter(~F.col("image_id").startswith("sp0000"))
+    part = broadcast_join.zonal_stats_fast(species_tiles, polys, species=None, res=res)
+    return (
+        part.cube("poly_id", "s")
+        .agg(F.sum("sum_v").alias("sum_v"), F.sum("n_px").alias("n_px"))
+        .select(
+            F.coalesce(F.col("poly_id"), F.lit("ALL")).alias("poly_id"),
+            F.coalesce(F.col("s").cast("string"), F.lit("ALL")).alias("s"),
+            "sum_v",
+            "n_px",
+        )
+    )
+
+
+# ===================================================================
 # Zonal percentiles (distribution-shape zonal family)
 # ===================================================================
 
