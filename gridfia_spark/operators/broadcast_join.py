@@ -141,13 +141,66 @@ def assign_tiles_fast(
     return cols.mapInPandas(run, "poly_id string, image_id string")
 
 
+def _iter_pair_values(pdf: pd.DataFrame, index: PolygonIndex):
+    """Yield ``(pidx, batch_row, vals)`` for every candidate (tile, poly)
+    pair of one Arrow batch: decode each tile once (cache per row), ray-cast
+    each (tile coords, poly) boundary mask once (cache shared across the
+    co-located species rows of a tile). Shared by the sum- and
+    histogram-partial map stages."""
+    xmin = pdf["xmin"].to_numpy()
+    ymin = pdf["ymin"].to_numpy()
+    xmax = pdf["xmax"].to_numpy()
+    ymax = pdf["ymax"].to_numpy()
+    cand = index.candidates(xmin, ymin, xmax, ymax)
+    if cand.empty:
+        return
+    arrs: dict[int, np.ndarray] = {}
+    masks: dict[tuple[int, int, int], np.ndarray] = {}
+    txs = pdf["tx"].to_numpy()
+    tys = pdf["ty"].to_numpy()
+    for r in cand.itertuples(index=False):
+        i = int(r.row)
+        if i not in arrs:
+            row = pdf.iloc[i]
+            # stay float32: halves memory traffic; sums accumulate
+            # in float64 via dtype= (bit-identical to converting)
+            arrs[i] = codecs.decode(
+                row["bytes"], int(row["w"]), int(row["h"]), row["fmt"]
+            ).ravel()
+        arr = arrs[i]
+        tile_inside = r.n_hit == r.n_cells and r.n_full == r.n_hit
+        if tile_inside:
+            vals = arr
+        else:
+            pidx = int(r.pidx)
+            mkey = (int(txs[i]), int(tys[i]), pidx)
+            mask = masks.get(mkey)
+            if mask is None:
+                row = pdf.iloc[i]
+                w_, h_ = int(row["w"]), int(row["h"])
+                cx = X0 + (int(txs[i]) * w_ + np.arange(w_)) * PIX + PIX / 2
+                cy = Y0 - (int(tys[i]) * h_ + np.arange(h_)) * PIX - PIX / 2
+                gx, gy = np.meshgrid(cx, cy)
+                mask = geom.points_in_polygon(
+                    gx.ravel(), gy.ravel(), index.rings[pidx]
+                )
+                masks[mkey] = mask
+            if not mask.any():
+                continue
+            vals = arr[mask]
+        yield int(r.pidx), i, vals
+
+
+_ZONAL_META_COLS = (
+    "bytes", "w", "h", "fmt", "s", "tx", "ty", "xmin", "ymin", "xmax", "ymax"
+)
+
+
 def _zonal_partials(meta: DataFrame, index: PolygonIndex) -> DataFrame:
     """Per-(tile, poly, species) zonal partial aggregates — the map stage
     shared by the batch path (zonal_stats_fast) and the streaming path
     (streaming/incremental.py)."""
-    cols = meta.select(
-        "bytes", "w", "h", "fmt", "s", "tx", "ty", "xmin", "ymin", "xmax", "ymax"
-    )
+    cols = meta.select(*_ZONAL_META_COLS)
     bc = meta.sparkSession.sparkContext.broadcast(index)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -155,53 +208,11 @@ def _zonal_partials(meta: DataFrame, index: PolygonIndex) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            xmin = pdf["xmin"].to_numpy()
-            ymin = pdf["ymin"].to_numpy()
-            xmax = pdf["xmax"].to_numpy()
-            ymax = pdf["ymax"].to_numpy()
-            cand = index.candidates(xmin, ymin, xmax, ymax)
-            if cand.empty:
-                continue
             out = []
-            arrs: dict[int, np.ndarray] = {}
-            # PIP masks depend only on (tile coords, polygon) — cache them so
-            # the 6 species rows of a co-located tile share one ray-cast
-            masks: dict[tuple[int, int, int], np.ndarray] = {}
-            txs = pdf["tx"].to_numpy()
-            tys = pdf["ty"].to_numpy()
-            for r in cand.itertuples(index=False):
-                i = int(r.row)
-                if i not in arrs:
-                    row = pdf.iloc[i]
-                    # stay float32: halves memory traffic; sums accumulate
-                    # in float64 via dtype= (bit-identical to converting)
-                    arrs[i] = codecs.decode(
-                        row["bytes"], int(row["w"]), int(row["h"]), row["fmt"]
-                    ).ravel()
-                arr = arrs[i]
-                tile_inside = r.n_hit == r.n_cells and r.n_full == r.n_hit
-                if tile_inside:
-                    vals = arr
-                else:
-                    pidx = int(r.pidx)
-                    mkey = (int(txs[i]), int(tys[i]), pidx)
-                    mask = masks.get(mkey)
-                    if mask is None:
-                        row = pdf.iloc[i]
-                        w_, h_ = int(row["w"]), int(row["h"])
-                        cx = X0 + (int(txs[i]) * w_ + np.arange(w_)) * PIX + PIX / 2
-                        cy = Y0 - (int(tys[i]) * h_ + np.arange(h_)) * PIX - PIX / 2
-                        gx, gy = np.meshgrid(cx, cy)
-                        mask = geom.points_in_polygon(
-                            gx.ravel(), gy.ravel(), index.rings[pidx]
-                        )
-                        masks[mkey] = mask
-                    if not mask.any():
-                        continue
-                    vals = arr[mask]
+            for pidx, i, vals in _iter_pair_values(pdf, index):
                 out.append(
                     (
-                        index.poly_ids[int(r.pidx)],
+                        index.poly_ids[pidx],
                         int(pdf["s"].iloc[i]),
                         int(vals.size),
                         float(vals.sum(dtype=np.float64)),
@@ -219,6 +230,59 @@ def _zonal_partials(meta: DataFrame, index: PolygonIndex) -> DataFrame:
         run,
         "poly_id string, s int, n_px long, sum_v double, max_v double, nonzero_px long",
     )
+
+
+def _zonal_hist_partials(meta: DataFrame, index: PolygonIndex) -> DataFrame:
+    """Per-(tile, poly, species) VALUE-HISTOGRAM partials: ``np.bincount``
+    inside the map stage collapses each pair's pixels to <= |value domain|
+    ``(v, cnt)`` rows before anything is shuffled. This is the scale-safe
+    percentile plan — no reducer ever buffers a zone's pixel population
+    (vs an exact ``percentile`` aggregate, which OOMs on one CONUS-scale
+    county at 100x). Integer-valued pixels only (the u8z data contract)."""
+    cols = meta.select(*_ZONAL_META_COLS)
+    bc = meta.sparkSession.sparkContext.broadcast(index)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pids, ss, vv, cc = [], [], [], []
+            for pidx, i, vals in _iter_pair_values(pdf, index):
+                counts = np.bincount(vals.astype(np.int64))
+                nz = np.flatnonzero(counts)
+                pids.append(np.full(nz.size, index.poly_ids[pidx], dtype=object))
+                ss.append(np.full(nz.size, int(pdf["s"].iloc[i]), dtype=np.int32))
+                vv.append(nz.astype(np.int32))
+                cc.append(counts[nz])
+            if pids:
+                yield pd.DataFrame(
+                    {
+                        "poly_id": np.concatenate(pids),
+                        "s": np.concatenate(ss),
+                        "v": np.concatenate(vv),
+                        "cnt": np.concatenate(cc),
+                    }
+                )
+
+    return cols.mapInPandas(run, "poly_id string, s int, v int, cnt long")
+
+
+def zonal_value_hist(
+    tiles: DataFrame, polygons: DataFrame, species: int | None, res: int,
+    index: PolygonIndex | None = None,
+) -> DataFrame:
+    """Per-(poly, [s]) exact value histogram ``(v, cnt)`` of the pixel
+    distribution: map-side bincount partials + one tiny groupBy (the shuffle
+    carries at most |polys| * |species| * |domain| rows). Feed the result to
+    ``functions.histpct.hist_percentiles`` for exact percentiles."""
+    index = index or PolygonIndex.build(polygons, res)
+    meta = decode.with_tile_meta(tiles)
+    if species is not None:
+        meta = meta.filter(F.col("s") == species)
+    part = _zonal_hist_partials(meta, index)
+    keys = ["poly_id", "s", "v"] if species is None else ["poly_id", "v"]
+    return part.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
 
 
 def zonal_stats_fast(

@@ -114,6 +114,41 @@ def pixels_long(tiles: DataFrame, species: list[int] | None = None) -> DataFrame
     ).withColumn("y", F.lit(Y0) - F.col("gy") * F.lit(PIX) - F.lit(PIX / 2))
 
 
+def value_hist(tiles: DataFrame, species: list[int] | None = None) -> DataFrame:
+    """Per-species exact value histogram ``(s, v, cnt)`` for integer-valued
+    pixels (u8z contract): per-tile ``np.bincount`` partials inside the map
+    stage, one tiny groupBy merge. The scale-safe substrate for exact global
+    percentiles (functions/histpct.py) — a billion-pixel species layer
+    shuffles at most |value domain| rows, vs an exact ``percentile``
+    aggregate buffering the whole population on one reducer."""
+    meta = with_tile_meta(tiles)
+    if species is not None:
+        meta = meta.filter(F.col("s").isin(species))
+    meta = meta.select("bytes", "w", "h", "fmt", "s")
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ss, vv, cc = [], [], []
+            for row in pdf.itertuples(index=False):
+                arr = codecs.decode(row.bytes, row.w, row.h, row.fmt)
+                counts = np.bincount(arr.ravel().astype(np.int64))
+                nz = np.flatnonzero(counts)
+                ss.append(np.full(nz.size, row.s, dtype=np.int32))
+                vv.append(nz.astype(np.int32))
+                cc.append(counts[nz])
+            if ss:
+                yield pd.DataFrame(
+                    {
+                        "s": np.concatenate(ss),
+                        "v": np.concatenate(vv),
+                        "cnt": np.concatenate(cc),
+                    }
+                )
+
+    part = meta.mapInPandas(hist, "s int, v int, cnt long")
+    return part.groupBy("s", "v").agg(F.sum("cnt").alias("cnt"))
+
+
 def point_lookup(
     points: DataFrame,
     tiles: DataFrame,

@@ -33,15 +33,22 @@ def stretch_bounds(
     round_dp: int = 6,
 ) -> dict[int, tuple[float, float]]:
     """Exact percentile stretch bounds per species (mapper.py:128-158),
-    rounded to ``round_dp`` so downstream float math is engine-portable."""
-    px = decode.pixels_long(tiles, species=species)
-    rows = (
-        px.groupBy("s")
-        .agg(F.expr(f"percentile(v, array({lo!r}, {hi!r}))").alias("p"))
-        .collect()
-    )
+    rounded to ``round_dp`` so downstream float math is engine-portable.
+
+    Scale-safe plan: per-tile bincount partials -> tiny (s, v, cnt)
+    histogram -> interpolated cumulative walk (functions/histpct.py). No
+    per-species value buffering — a billion-pixel layer costs a
+    |value-domain|-row shuffle. The interpolation formula matches DuckDB
+    quantile_cont bit-for-bit on float64-exact integer values, so the
+    round_dp boundary-flip flake of engine-internal percentile
+    accumulations is gone. For continuous-valued tiles, swap in
+    approx_percentile (mergeable t-digest)."""
+    from ..functions.histpct import hist_percentiles
+
+    hist = decode.value_hist(tiles, species=species)
+    rows = hist_percentiles(hist, ["s"], {"plo": lo, "phi": hi}).collect()
     return {
-        int(r.s): (round(float(r.p[0]), round_dp), round(float(r.p[1]), round_dp))
+        int(r.s): (round(float(r.plo), round_dp), round(float(r.phi), round_dp))
         for r in rows
     }
 

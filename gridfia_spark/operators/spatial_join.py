@@ -36,6 +36,11 @@ def covering_at_res(rings: list[np.ndarray], res: int) -> tuple[np.ndarray, np.n
     coarse fully-inside cell into its 2^k x 2^k block of ``res`` children —
     all vectorized per level. Returns (cells int64, fully_inside bool)."""
     cells, full = geom.polygon_covering(rings, min(res, 10), res)
+    if cells.size == 0:
+        # polygon entirely outside the grid extent: zero covering rows (the
+        # pre-refactor inline loops emitted nothing; np.concatenate would
+        # raise and kill the whole mapInPandas task in polygon_cells_dist)
+        return np.empty(0, np.int64), np.empty(0, bool)
     ix, iy, rr = grid.decode_cell(cells)
     out_cells, out_full = [], []
     for level in np.unique(rr):

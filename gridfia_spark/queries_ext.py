@@ -181,17 +181,16 @@ FROM val GROUP BY s"""
 @q("percentile_stretch", _o_percentile)
 def percentile_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-98 percentile normalization bounds per species (SURVEY W2,
-    mapper.py:128-158) — exact percentiles, linear interpolation."""
+    mapper.py:128-158) — exact percentiles, linear interpolation, computed
+    from per-tile bincount histogram partials (functions/histpct.py) so no
+    reducer buffers a species' pixel population."""
+    from .functions.histpct import hist_percentiles
+
     tiles = tgen.ensure_tiles(spark, sf_dir)
-    px = decode.pixels_long(tiles, species=[1, 2, 3, 4, 5])
-    return (
-        px.groupBy("s")
-        .agg(F.expr("percentile(v, array(0.02, 0.98))").alias("p"))
-        .select(
-            "s",
-            F.round(F.col("p")[0], 6).alias("p2"),
-            F.round(F.col("p")[1], 6).alias("p98"),
-        )
+    hist = decode.value_hist(tiles, species=[1, 2, 3, 4, 5])
+    pct = hist_percentiles(hist, ["s"], {"p2": 0.02, "p98": 0.98})
+    return pct.select(
+        "s", F.round("p2", 6).alias("p2"), F.round("p98", 6).alias("p98")
     )
 
 

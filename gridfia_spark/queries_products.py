@@ -384,26 +384,32 @@ GROUP BY c.poly_id"""
 
 @q("zonal_percentiles", _o_zonal_pct)
 def zonal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-county exact percentiles (p25/p50/p90) of the total-biomass pixel
+    """Per-county EXACT percentiles (p25/p50/p90) of the total-biomass pixel
     distribution — the distribution-shape zonal family beyond sum/mean
-    (A19 extension). Exact percentile here for the oracle gate; at cluster
-    scale swap in approx_percentile's mergeable t-digest so the values
-    never concentrate on one reducer."""
-    from .operators import spatial_join
+    (A19 extension).
+
+    Scale-safe plan: pixels are integer-valued (u8z contract), so the map
+    stage bincounts each (tile, poly) pair to <= |domain| (v, cnt) rows; one
+    tiny groupBy merges histograms; the percentile is an interpolated
+    cumulative walk (functions/histpct.py) whose float math matches DuckDB's
+    quantile_cont bit-for-bit. No reducer ever buffers a zone's pixel
+    population — a skewed CONUS-scale county costs the same tiny shuffle as
+    a small one. For genuinely continuous data use approx_percentile's
+    mergeable t-digest instead."""
+    from .functions.histpct import hist_percentiles
+    from .operators import broadcast_join
 
     tiles = tgen.ensure_tiles(spark, sf_dir)
-    px = decode.pixels_long(tiles, species=[0]).select("v", "x", "y")
     polys = tgen.polygons_df(spark, sf_dir).filter(F.col("is_rect"))
-    joined = spatial_join.join_points_polygons(px, polys, res=_join_res(sf_dir))
-    return (
-        joined.groupBy("poly_id")
-        .agg(F.expr("percentile(v, array(0.25, 0.5, 0.9))").alias("p"))
-        .select(
-            "poly_id",
-            F.round(F.col("p")[0], 6).alias("p25"),
-            F.round(F.col("p")[1], 6).alias("p50"),
-            F.round(F.col("p")[2], 6).alias("p90"),
-        )
+    hist = broadcast_join.zonal_value_hist(
+        tiles, polys, species=0, res=_join_res(sf_dir)
+    )
+    pct = hist_percentiles(hist, ["poly_id"], {"p25": 0.25, "p50": 0.5, "p90": 0.9})
+    return pct.select(
+        "poly_id",
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
     )
 
 
