@@ -191,13 +191,77 @@ def bh_fdr(pvals: DataFrame, p_col: str = "p", id_col: str = "test_id") -> DataF
     )
 
 
-def cliffs_delta(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
-    """Cliff's delta between the two groups of ``group_col`` via the crossJoin
-    counting form (statistical_analysis.py:549-557): delta =
-    (#(a>b) - #(a<b)) / (n1*n2)."""
+def _two_groups(df: DataFrame, group_col: str) -> list:
     groups = [r[0] for r in df.select(group_col).distinct().orderBy(group_col).collect()]
     if len(groups) != 2:
-        raise ValueError(f"cliffs_delta needs exactly 2 groups, got {groups}")
+        raise ValueError(f"need exactly 2 groups, got {groups}")
+    return groups
+
+
+def _rank_hist(df: DataFrame, group_col: str, value_col: str, group_a) -> DataFrame:
+    """Tie-averaged pooled ranks from a VALUE HISTOGRAM — the O(n log n)
+    substrate shared by the rank forms of Cliff's delta and Mann-Whitney U.
+
+    One groupBy collapses the population to distinct values (map-side
+    combine); a window over that histogram assigns each tie group its
+    average rank ``cum - (n_v - 1)/2``. The global sort is over DISTINCT
+    values only — bounded by the value domain, not the row count."""
+    is_a = (F.col(group_col) == group_a).cast("long")
+    hist = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(is_a).alias("na_v"), F.count("*").alias("n_v")
+    )
+    w = Window.orderBy("v")
+    return hist.withColumn("cum", F.sum("n_v").over(w)).withColumn(
+        "avg_rank", F.col("cum") - (F.col("n_v") - 1) / 2.0
+    )
+
+
+def _rank_sums(df: DataFrame, group_col: str, value_col: str, groups) -> dict:
+    """n1/n2/U1 (+ tie term) from the rank histogram, as exact float64
+    integers/halves (< 2^53), so downstream arithmetic is engine-portable."""
+    r = (
+        _rank_hist(df, group_col, value_col, groups[0])
+        .agg(
+            F.sum("na_v").alias("n1"),
+            F.sum("n_v").alias("n"),
+            F.sum(F.col("na_v") * F.col("avg_rank")).alias("r1"),
+            F.sum(F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")).alias("ties"),
+        )
+        .first()
+    )
+    n1, n = int(r.n1), int(r.n)
+    n2 = n - n1
+    u1 = float(r.r1) - n1 * (n1 + 1) / 2.0
+    return {"n1": n1, "n2": n2, "n": n, "u1": u1, "ties": float(r.ties)}
+
+
+def cliffs_delta(
+    df: DataFrame, group_col: str, value_col: str, method: str = "rank"
+) -> DataFrame:
+    """Cliff's delta between the two groups of ``group_col``
+    (statistical_analysis.py:549-557): delta = (#(a>b) - #(a<b)) / (n1*n2).
+
+    ``method='rank'`` (default): the O(n log n) rank formulation (SURVEY J6)
+    via 2*U1 = 2*#(a>b) + #ties, so delta = (2*U1 - n1*n2)/(n1*n2). The
+    numerator is an exact float64 integer, making the single division
+    bit-identical to the crossJoin form's (gt-lt)/n_pairs. Scales: one
+    histogram shuffle instead of an n1*n2 pair blow-up.
+
+    ``method='cross'``: the literal O(n1*n2) crossJoin counting form — kept
+    as the small-n oracle cross-check of the rank path (tested equal on
+    adversarial ties)."""
+    groups = _two_groups(df, group_col)
+    spark = df.sparkSession
+    if method == "rank":
+        st = _rank_sums(df, group_col, value_col, groups)
+        n_pairs = st["n1"] * st["n2"]
+        delta = (2.0 * st["u1"] - n_pairs) / n_pairs
+        return spark.createDataFrame(
+            [(groups[0], groups[1], float(delta), int(n_pairs))],
+            "group_a string, group_b string, delta double, n_pairs long",
+        )
+    if method != "cross":
+        raise ValueError(f"unknown method {method!r}")
     a = df.filter(F.col(group_col) == groups[0]).select(F.col(value_col).alias("va"))
     b = df.filter(F.col(group_col) == groups[1]).select(F.col(value_col).alias("vb"))
     pairs = a.crossJoin(F.broadcast(b))
@@ -207,10 +271,98 @@ def cliffs_delta(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
     ).first()
     delta = (agg.gt - agg.lt) / agg.n_pairs
-    spark = df.sparkSession
     return spark.createDataFrame(
         [(groups[0], groups[1], float(delta), int(agg.n_pairs))],
         "group_a string, group_b string, delta double, n_pairs long",
+    )
+
+
+def _phi_as(z):
+    """Standard normal CDF via the Abramowitz-Stegun 7.1.26 erf polynomial
+    (|err| <= 1.5e-7) — expressible identically in any SQL engine (exp only),
+    used because DuckDB lacks erf/erfc. ``z`` is a Column; returns a Column."""
+    x = F.abs(z) / F.lit(float(np.sqrt(2.0)))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * t * t
+        + F.lit(1.421413741) * t * t * t
+        - F.lit(1.453152027) * t * t * t * t
+        + F.lit(1.061405429) * t * t * t * t * t
+    )
+    erf = F.lit(1.0) - poly * F.exp(-x * x)
+    phi_abs = F.lit(0.5) * (F.lit(1.0) + erf)
+    return F.when(z >= 0, phi_abs).otherwise(F.lit(1.0) - phi_abs)
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (statistical_analysis.py:340-361) as the
+    distributed rank formulation: tie-averaged ranks from the value
+    histogram, U1 = R1 - n1(n1+1)/2, tie-corrected normal approximation
+    z = (U1 - mu - 0.5*sign(U1-mu)) / sigma with
+    sigma^2 = n1*n2/12 * ((n+1) - T/(n(n-1))), T = sum(t^3 - t), two-sided
+    p = 2*(1 - Phi(|z|)) via the A&S erf polynomial (DuckDB-portable).
+
+    Returns one row (group_a, group_b, n1, n2, u1, u2, z, p_norm). Scales:
+    one histogram shuffle; the only sort is over distinct values."""
+    groups = _two_groups(df, group_col)
+    st = _rank_sums(df, group_col, value_col, groups)
+    n1, n2, n = st["n1"], st["n2"], st["n"]
+    u1 = st["u1"]
+    u2 = n1 * n2 - u1
+    mu = n1 * n2 / 2.0
+    var = n1 * n2 / 12.0 * ((n + 1) - st["ties"] / (n * (n - 1)))
+    if var <= 0:  # all values identical
+        z = 0.0
+    else:
+        cc = 0.5 if u1 > mu else (-0.5 if u1 < mu else 0.0)
+        z = (u1 - mu - cc) / float(np.sqrt(var))
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(groups[0], groups[1], n1, n2, float(u1), float(u2), float(z))],
+        "group_a string, group_b string, n1 long, n2 long, u1 double, "
+        "u2 double, z double",
+    )
+    return out.withColumn(
+        "p_norm",
+        F.least(F.lit(1.0), F.lit(2.0) * (F.lit(1.0) - _phi_as(F.abs(F.col("z"))))),
+    )
+
+
+def cohens_d(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Cohen's d with pooled standard deviation
+    (statistical_analysis.py:507-540): d = (mean_a - mean_b) / s_pooled,
+    s_pooled^2 = ((n1-1)s1^2 + (n2-1)s2^2) / (n1+n2-2). Pure two-level
+    aggregation — partial aggregates per group, no data movement beyond one
+    tiny groupBy."""
+    groups = _two_groups(df, group_col)
+    v = F.col(value_col).cast("double")
+    per = (
+        df.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(v).alias("mean"),
+            F.var_samp(v).alias("var"),
+        )
+        .collect()
+    )
+    ga = next(r for r in per if r[group_col] == groups[0])
+    gb = next(r for r in per if r[group_col] == groups[1])
+    sp2 = ((ga.n - 1) * ga.var + (gb.n - 1) * gb.var) / (ga.n + gb.n - 2)
+    d = (ga.mean - gb.mean) / float(np.sqrt(sp2)) if sp2 > 0 else 0.0
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                groups[0],
+                groups[1],
+                int(ga.n),
+                int(gb.n),
+                float(ga.mean - gb.mean),
+                float(d),
+            )
+        ],
+        "group_a string, group_b string, n1 long, n2 long, mean_diff double, d double",
     )
 
 

@@ -635,6 +635,103 @@ def cliffs_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_mann_whitney(sf_dir: str) -> str:
+    # identical expression ORDER as the engine: exact-half u1/mu, one
+    # division per term, A&S erf polynomial for the normal CDF (DuckDB has
+    # no erf); 6dp rounding absorbs engine exp() ulp differences
+    return """WITH v AS (
+  SELECT l_returnflag AS g, l_quantity AS q FROM lineitem
+  WHERE l_orderkey < 400 AND l_returnflag <> 'N'
+),
+r AS (SELECT g, q, rank() OVER (ORDER BY q) AS rk,
+             COUNT(*) OVER (PARTITION BY q) AS tv FROM v),
+s AS (SELECT SUM(CASE WHEN g = 'A' THEN rk + (tv - 1) / 2.0 ELSE 0 END) AS r1,
+             SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END)::BIGINT AS n1,
+             COUNT(*)::BIGINT AS n
+      FROM r),
+t AS (SELECT SUM(tv * tv * tv - tv) AS ties
+      FROM (SELECT COUNT(*)::DOUBLE AS tv FROM v GROUP BY q)),
+u AS (SELECT n1, n - n1 AS n2, n,
+             r1 - n1 * (n1 + 1) / 2.0 AS u1,
+             n1 * (n - n1) / 2.0 AS mu,
+             n1 * (n - n1) / 12.0 * ((n + 1) - t.ties / (n * (n - 1))) AS var
+      FROM s, t),
+z AS (SELECT n1, n2, u1, n1 * n2 - u1 AS u2,
+             CASE WHEN var <= 0 THEN 0.0
+                  WHEN u1 > mu THEN (u1 - mu - 0.5) / sqrt(var)
+                  WHEN u1 < mu THEN (u1 - mu + 0.5) / sqrt(var)
+                  ELSE 0.0 END AS z
+      FROM u),
+p AS (SELECT *, abs(z) / sqrt(2.0) AS x, 1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt
+      FROM z)
+SELECT 'A' AS group_a, 'R' AS group_b, n1, n2, u1, u2,
+       ROUND(z, 6) AS z,
+       ROUND(LEAST(1.0, 2.0 * (1.0 - (0.5 * (1.0 + (1.0 - (0.254829592 * tt
+             - 0.284496736 * tt * tt + 1.421413741 * tt * tt * tt
+             - 1.453152027 * tt * tt * tt * tt
+             + 1.061405429 * tt * tt * tt * tt * tt) * exp(-x * x)))))), 6)
+         AS p_norm
+FROM p"""
+
+
+@q("mann_whitney", _o_mann_whitney)
+def mann_whitney_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two lineitem return-flag groups
+    (ref statistical_analysis.py:340-361) — distributed rank formulation:
+    value-histogram ranks, no per-group value buffering."""
+    from .functions import sample_stats as ss
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") < 400) & (F.col("l_returnflag") != "N")
+    )
+    out = ss.mann_whitney_u(
+        li.select(F.col("l_returnflag").alias("g"), F.col("l_quantity").alias("q")),
+        "g",
+        "q",
+    )
+    return out.select(
+        "group_a", "group_b", "n1", "n2", "u1", "u2",
+        F.round("z", 6).alias("z"), F.round("p_norm", 6).alias("p_norm"),
+    )
+
+
+def _o_cohens_d(sf_dir: str) -> str:
+    return """WITH v AS (
+  SELECT l_returnflag AS g, l_quantity AS q FROM lineitem
+  WHERE l_orderkey < 400 AND l_returnflag <> 'N'
+),
+per AS (SELECT g, COUNT(*)::BIGINT AS n, AVG(q) AS mean, VAR_SAMP(q) AS var
+        FROM v GROUP BY g),
+ab AS (SELECT a.n AS n1, b.n AS n2, a.mean - b.mean AS mean_diff,
+              ((a.n - 1) * a.var + (b.n - 1) * b.var) / (a.n + b.n - 2) AS sp2
+       FROM (SELECT * FROM per WHERE g = 'A') a,
+            (SELECT * FROM per WHERE g = 'R') b)
+SELECT 'A' AS group_a, 'R' AS group_b, n1, n2,
+       ROUND(mean_diff, 6) AS mean_diff,
+       ROUND(CASE WHEN sp2 > 0 THEN mean_diff / sqrt(sp2) ELSE 0.0 END, 6) AS d
+FROM ab"""
+
+
+@q("cohens_d", _o_cohens_d)
+def cohens_d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d pooled-SD effect size (ref statistical_analysis.py:507-540)
+    over the same two-group comparison battery as mann_whitney/cliffs_delta."""
+    from .functions import sample_stats as ss
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") < 400) & (F.col("l_returnflag") != "N")
+    )
+    out = ss.cohens_d(
+        li.select(F.col("l_returnflag").alias("g"), F.col("l_quantity").alias("q")),
+        "g",
+        "q",
+    )
+    return out.select(
+        "group_a", "group_b", "n1", "n2",
+        F.round("mean_diff", 6).alias("mean_diff"), F.round("d", 6).alias("d"),
+    )
+
+
 def _o_rare_common_tile(sf_dir: str) -> str:
     spec = spec_for_sf_dir(sf_dir)
     tw, th = spec.tile_w, spec.tile_h

@@ -74,6 +74,54 @@ class TestDistributed:
         assert r.delta == pytest.approx((1 - 4) / 6)
         assert r.n_pairs == 6
 
+    def test_cliffs_delta_rank_equals_cross_on_adversarial_ties(self, spark):
+        rng = np.random.default_rng(3)
+        # heavy ties: 7 distinct values over 120 rows, unbalanced groups
+        rows = [("a", float(v)) for v in rng.integers(0, 7, 80)] + [
+            ("b", float(v)) for v in rng.integers(0, 7, 40)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r_rank = ss.cliffs_delta(df, "g", "v", method="rank").first()
+        r_cross = ss.cliffs_delta(df, "g", "v", method="cross").first()
+        assert r_rank.n_pairs == r_cross.n_pairs == 80 * 40
+        assert r_rank.delta == r_cross.delta  # bit-identical by construction
+
+    def test_mann_whitney_vs_bruteforce(self, spark):
+        rng = np.random.default_rng(5)
+        va = rng.integers(0, 10, 30).astype(float)
+        vb = (rng.integers(0, 10, 45) + 2).astype(float)
+        rows = [("a", float(v)) for v in va] + [("b", float(v)) for v in vb]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = ss.mann_whitney_u(df, "g", "v").first()
+        # brute-force U with half-ties
+        gt = sum((va[:, None] > vb[None, :]).sum() for _ in [0])
+        eq = (va[:, None] == vb[None, :]).sum()
+        u1 = gt + eq / 2.0
+        assert r.u1 == pytest.approx(u1) and r.u2 == pytest.approx(30 * 45 - u1)
+        # tie-corrected normal z (documented engine convention)
+        n1, n2, n = 30, 45, 75
+        allv = np.concatenate([va, vb])
+        _, t = np.unique(allv, return_counts=True)
+        var = n1 * n2 / 12.0 * ((n + 1) - float((t**3 - t).sum()) / (n * (n - 1)))
+        cc = 0.5 if u1 > n1 * n2 / 2 else -0.5
+        z = (u1 - n1 * n2 / 2.0 - cc) / np.sqrt(var)
+        assert r.z == pytest.approx(z, abs=1e-12)
+        # p from the A&S polynomial is within 3e-7 of the exact normal tail
+        import math
+
+        p_exact = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(abs(z) / math.sqrt(2.0))))
+        assert r.p_norm == pytest.approx(p_exact, abs=3e-7)
+
+    def test_cohens_d_vs_numpy(self, spark):
+        rng = np.random.default_rng(9)
+        va, vb = rng.normal(5, 2, 40), rng.normal(3, 1, 25)
+        rows = [("a", float(v)) for v in va] + [("b", float(v)) for v in vb]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = ss.cohens_d(df, "g", "v").first()
+        sp2 = ((40 - 1) * va.var(ddof=1) + (25 - 1) * vb.var(ddof=1)) / (40 + 25 - 2)
+        d = (va.mean() - vb.mean()) / np.sqrt(sp2)
+        assert r.d == pytest.approx(d) and r.mean_diff == pytest.approx(va.mean() - vb.mean())
+
     def test_group_stats(self, spark):
         rows = [("a", 1.0), ("a", 3.0), ("b", 10.0)]
         df = spark.createDataFrame(rows, "g string, v double")
