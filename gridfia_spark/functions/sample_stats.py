@@ -440,12 +440,25 @@ def bootstrap_ci(
     Resampling with replacement is deterministic and engine-portable: for
     bootstrap b, slot j picks row index (b*104729 + j*7919 + 13) mod n over
     the rows ranked by id — reproducible in any SQL engine, no RNG state.
-    Returns one row (obs_mean, ci_lo, ci_hi, n_boot)."""
+    Returns one row (obs_mean, ci_lo, ci_hi, n_boot).
+
+    SMALL-SAMPLE OPERATOR: the global Window.orderBy rank funnels the base
+    table through one task and the ranked base is broadcast, so the base
+    must be a (filtered) sample, not a full table — enforced by the
+    ``max_n`` guard. Bootstrap statistics are a sample-level tool
+    (the reference pools ~thousands of plot records); for population-scale
+    CIs use the closed-form normal interval from one aggregate instead."""
     base = df.select(
         F.col(id_col).cast("string").alias("rid"),
         F.col(value_col).cast("double").alias("v"),
     )
+    max_n = 65536
     n = base.count()
+    if n > max_n:
+        raise ValueError(
+            f"bootstrap_ci is a small-sample operator (n={n} > {max_n}); "
+            "filter/sample the base first, or use a closed-form CI"
+        )
     spark = df.sparkSession
     w = Window.orderBy("rid")
     ranked = base.withColumn("ridx", F.row_number().over(w) - 1)

@@ -31,14 +31,31 @@ def asof_join(
     """Left as-of join: left columns + ``<prefix><v>`` for each right value
     column (null when no right row at or before the left timestamp).
 
+    The matched right row is carried as a STRUCT, so the non-null marker is
+    the row itself: a legitimately-NULL right value column stays NULL in the
+    output (matching pandas merge_asof and DuckDB ASOF) instead of an older
+    row's value leaking forward via ignorenulls.
+
     Precondition for determinism: at most one right row per (key, ts) —
     pre-aggregate the right side otherwise."""
-    l = left.withColumn("_src", F.lit(1))
+    collisions = sorted(
+        {f"{prefix}{v}" for v in right_vals} & set(left.columns)
+    )
+    if collisions:
+        raise ValueError(
+            f"asof output columns {collisions} collide with left columns; "
+            "pass a different prefix"
+        )
     r = right.select(
-        *on, ts, *[F.col(v).alias(f"{prefix}{v}") for v in right_vals]
+        *on,
+        ts,
+        F.struct(
+            *[F.col(v).alias(f"{prefix}{v}") for v in right_vals]
+        ).alias("_rv"),
     ).withColumn("_src", F.lit(0))
-    for v in right_vals:
-        l = l.withColumn(f"{prefix}{v}", F.lit(None).cast(r.schema[f"{prefix}{v}"].dataType))
+    l = left.withColumn("_src", F.lit(1)).withColumn(
+        "_rv", F.lit(None).cast(r.schema["_rv"].dataType)
+    )
     for c in l.columns:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(l.schema[c].dataType))
@@ -49,8 +66,9 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_src").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    out = both.withColumn("_rv", F.last("_rv", ignorenulls=True).over(w)).filter(
+        F.col("_src") == 1
+    )
     for v in right_vals:
-        both = both.withColumn(
-            f"{prefix}{v}", F.last(f"{prefix}{v}", ignorenulls=True).over(w)
-        )
-    return both.filter(F.col("_src") == 1).drop("_src")
+        out = out.withColumn(f"{prefix}{v}", F.col("_rv")[f"{prefix}{v}"])
+    return out.drop("_src", "_rv")

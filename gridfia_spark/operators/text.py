@@ -250,6 +250,13 @@ def near_dup_components(pairs: DataFrame, docs: DataFrame, max_iter: int = 50) -
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"label propagation did not converge in max_iter={max_iter} "
+            f"rounds ({changed} labels still changing) — the pair graph has "
+            "diameter > max_iter; raise max_iter"
+        )
     edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"),

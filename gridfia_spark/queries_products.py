@@ -281,34 +281,43 @@ UNION ALL SELECT 'purchase_after_click', (SELECT COUNT(*) FROM p)::BIGINT"""
 @q("funnel_stages", _o_funnel)
 def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged funnel over the event stream: users who signed up, then
-    clicked after signing up, then purchased after that click — the
-    ordered-sequence analysis of product/event pipelines (each stage is a
-    min-timestamp aggregate + a time-ordered semi-join; no per-user
-    collection)."""
-    ev = _t(spark, sf_dir, "events")
-    s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
-        F.min("ts").alias("t1")
+    clicked after signing up, then purchased after that click.
+
+    Single-scan plan: ONE shuffle clusters each user's events; three chained
+    window expressions over that one partitioning derive the stage
+    timestamps (t2 = min click after t1, t3 = min purchase after t2 — every
+    row of a user sees the same t1/t2, so the chain is well-defined);
+    groupBy(user_id) reuses the window's hash partitioning (no second
+    exchange); one global conditional-count aggregate stacks to the three
+    funnel rows. Events are read exactly once — vs the naive
+    per-stage-action form that rebuilds the chain (~6 scans)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase")
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    w = Window.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    staged = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn("t1", F.min(F.when(et == "signup", ts)).over(w))
+        .withColumn(
+            "t2", F.min(F.when((et == "click") & (ts > F.col("t1")), ts)).over(w)
+        )
+        .withColumn(
+            "t3", F.min(F.when((et == "purchase") & (ts > F.col("t2")), ts)).over(w)
+        )
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
     )
-    rows = [
-        ("signup", s.count()),
-        ("click_after_signup", c.count()),
-        ("purchase_after_click", p.count()),
-    ]
-    return spark.createDataFrame(rows, "stage string, n_users long")
+    agg = per_user.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
+    )
+    return agg.selectExpr(
+        "stack(3, 'signup', n1, 'click_after_signup', n2, "
+        "'purchase_after_click', n3) AS (stage, n_users)"
+    )
 
 
 # ===================================================================

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from gridfia_spark.functions import sample_stats as ss
 
@@ -121,6 +122,15 @@ class TestDistributed:
         sp2 = ((40 - 1) * va.var(ddof=1) + (25 - 1) * vb.var(ddof=1)) / (40 + 25 - 2)
         d = (va.mean() - vb.mean()) / np.sqrt(sp2)
         assert r.d == pytest.approx(d) and r.mean_diff == pytest.approx(va.mean() - vb.mean())
+
+    def test_bootstrap_ci_population_guard(self, spark):
+        import pytest as _pytest
+
+        df = spark.range(70000).select(
+            F.col("id").alias("rid"), (F.col("id") % 10).cast("double").alias("v")
+        )
+        with _pytest.raises(ValueError, match="small-sample"):
+            ss.bootstrap_ci(df, "v", "rid", n_boot=2)
 
     def test_group_stats(self, spark):
         rows = [("a", 1.0), ("a", 3.0), ("b", 10.0)]

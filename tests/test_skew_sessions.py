@@ -151,6 +151,35 @@ class TestAsofJoin:
         assert out["b"] == 40.0
         assert out["c"] is None  # key with no right rows -> null
 
+    def test_null_right_value_attaches_as_null(self, spark):
+        """A matched right row with a NULL value column attaches as NULL
+        (merge_asof / DuckDB ASOF semantics) — an older row's value must
+        not leak forward past it."""
+        from gridfia_spark.operators import asof
+
+        left = spark.createDataFrame(
+            [(1, 5, "early"), (1, 15, "after_null")], "k int, ts int, tag string"
+        )
+        right = spark.createDataFrame(
+            [(1, 4, 40.0), (1, 10, None)], "k int, ts int, v double"
+        )
+        out = {
+            r.tag: r.asof_v
+            for r in asof.asof_join(left, right, ["k"], "ts", ["v"]).collect()
+        }
+        assert out["early"] == 40.0
+        assert out["after_null"] is None  # matched row (ts=10) has NULL v
+
+    def test_prefix_collision_raises(self, spark):
+        import pytest as _pytest
+
+        from gridfia_spark.operators import asof
+
+        left = spark.createDataFrame([(1, 5, 0.0)], "k int, ts int, asof_v double")
+        right = spark.createDataFrame([(1, 4, 40.0)], "k int, ts int, v double")
+        with _pytest.raises(ValueError, match="collide"):
+            asof.asof_join(left, right, ["k"], "ts", ["v"])
+
 
 class TestRangeJoin:
     def test_equals_theta_join(self, spark):

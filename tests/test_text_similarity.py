@@ -82,6 +82,21 @@ class TestNearDupComponents:
         out = {r.doc_id: r.comp for r in text.near_dup_components(pairs, docs).collect()}
         assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4}
 
+    def test_nonconvergence_raises(self, spark):
+        """max_iter too small for the graph diameter -> loud RuntimeError,
+        never silently-wrong component ids."""
+        import pytest as _pytest
+
+        docs = spark.createDataFrame(
+            [(i, f"d{i}", "s") for i in range(6)], "doc_id long, text string, source string"
+        )
+        pairs = spark.createDataFrame(
+            [(i, i + 1, 0.9) for i in range(5)],
+            "doc_a long, doc_b long, jaccard double",
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            text.near_dup_components(pairs, docs, max_iter=2)
+
 
 class TestSimhash:
     def test_one_row_per_doc_and_dups_collide(self, spark, docs):
