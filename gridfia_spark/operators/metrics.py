@@ -50,10 +50,15 @@ def _failure_values(sql_type: str, n: int) -> np.ndarray:
 
 
 def _run_tile_kernels(
-    pdf: pd.DataFrame, specs: list[MetricSpec], on_error: str = "raise"
+    pdf: pd.DataFrame,
+    specs: list[MetricSpec],
+    on_error: str = "raise",
+    fns: dict[str, kernels.Kernel] | None = None,
 ) -> pd.DataFrame:
     """One tile group (all species rows) -> per-pixel metric columns.
 
+    ``fns`` is the driver-side registry snapshot (see metric_layers);
+    falls back to the module registry for direct calls.
     ``on_error='sentinel'`` reproduces the reference's failure convention
     (forest_metrics.py:410-423 + 440-483): a failing calculation yields a
     sentinel layer instead of failing the tile, other metrics still emit."""
@@ -72,7 +77,8 @@ def _run_tile_kernels(
     out = {"gx": gx.ravel(), "gy": gy.ravel()}
     for m in specs:
         try:
-            layer = kernels.get(m.kernel)(cube, **m.params)
+            fn = fns[m.kernel] if fns is not None else kernels.get(m.kernel)
+            layer = fn(cube, **m.params)
         except Exception:  # noqa: BLE001 — sentinel mode mirrors reference
             if on_error != "sentinel":
                 raise
@@ -97,9 +103,14 @@ def metric_layers(
     meta = decode.with_tile_meta(tiles).select(
         "tx", "ty", "s", "bytes", "w", "h", "fmt"
     )
+    # resolve kernels AT PLAN TIME: registrations made on the driver (incl.
+    # user plugins defined in closures) ride the pickled task closure —
+    # module-level registry state alone would not survive the worker's
+    # fresh import (the same snapshot rule as multimodal._MEDIA_DECODERS)
+    fns = {m.kernel: kernels.get(m.kernel) for m in specs}
     schema = "gx long, gy long, " + ", ".join(f"{m.out} {m.sql_type}" for m in specs)
     return meta.groupBy("tx", "ty").applyInPandas(
-        lambda pdf: _run_tile_kernels(pdf, specs, on_error), schema
+        lambda pdf: _run_tile_kernels(pdf, specs, on_error, fns), schema
     )
 
 

@@ -2,11 +2,13 @@
 metadata, processed by Arrow-batched UDFs.
 
 The Spark-side machinery (schemas, partitioning, UDF signatures, batch
-shapes) is real and tested; actual media codecs (PNG/JPEG/MP3/H.264) are
-STUBBED behind ``NotImplementedError`` because the sandbox ships no media
-libraries — drop PIL/ffmpeg into ``_MEDIA_DECODERS`` and everything else
-works unchanged. The engine's own raster codecs double as the working
-"image" format, and a deterministic fake decoder supports tests.
+shapes) is real and tested. PNG is a REAL codec (pure numpy+zlib,
+gridfia_spark/png.py — 8-bit gray/RGB/RGBA, all five scanline filters);
+JPEG/MP3/H.264 remain STUBBED behind ``NotImplementedError`` because the
+sandbox ships no media libraries — drop PIL/ffmpeg into ``_MEDIA_DECODERS``
+and everything else works unchanged. The engine's own raster codecs double
+as the working "image" format, and a deterministic fake decoder supports
+tests.
 """
 
 from __future__ import annotations
@@ -29,7 +31,26 @@ MEDIA_SCHEMA = (
 # registry into its closure (dict(_MEDIA_DECODERS)) so driver-side
 # registrations serialize into the Arrow-UDF tasks — module-level state
 # alone would not survive the worker's fresh import.
-_MEDIA_DECODERS: dict[str, Callable[[bytes, int, int], np.ndarray]] = {}
+def _png_decoder(data: bytes, w: int, h: int) -> np.ndarray:
+    """Built-in pure-python PNG decode -> (h, w) float32 (RGB(A) collapses
+    to ITU-R 601 luma, the standard grayscale conversion)."""
+    from .. import png
+
+    arr = png.decode_png(data)
+    if arr.shape[:2] != (h, w):
+        raise ValueError(f"PNG dims {arr.shape[:2]} != metadata ({h}, {w})")
+    if arr.ndim == 3:
+        rgb = arr[..., :3].astype(np.float32)
+        return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+    return arr.astype(np.float32)
+
+
+_DEFAULT_DECODERS: dict[str, Callable[[bytes, int, int], np.ndarray]] = {
+    "png": _png_decoder,
+}
+_MEDIA_DECODERS: dict[str, Callable[[bytes, int, int], np.ndarray]] = dict(
+    _DEFAULT_DECODERS
+)
 
 
 def register_decoder(fmt: str, fn: Callable[[bytes, int, int], np.ndarray]) -> None:
@@ -39,7 +60,12 @@ def register_decoder(fmt: str, fn: Callable[[bytes, int, int], np.ndarray]) -> N
 
 
 def unregister_decoder(fmt: str) -> None:
+    """Remove a user registration; built-in codecs (png) are restored, not
+    removed — unregistering an override must not strip the engine's own
+    decoder for the rest of the session."""
     _MEDIA_DECODERS.pop(fmt, None)
+    if fmt in _DEFAULT_DECODERS:
+        _MEDIA_DECODERS[fmt] = _DEFAULT_DECODERS[fmt]
 
 
 def _decode_media(
@@ -61,7 +87,7 @@ def _decode_media(
         seed = int.from_bytes(data[:8].ljust(8, b"\0"), "little") % (2**31)
         gy, gx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
         return (((gx * 31 + gy * 17 + seed) % 251)).astype(np.float32)
-    if fmt in ("png", "jpeg", "webp", "mp3", "wav", "h264"):
+    if fmt in ("jpeg", "webp", "mp3", "wav", "h264"):
         raise NotImplementedError(
             f"media codec {fmt!r} needs PIL/ffmpeg (not in this sandbox); "
             "register one with multimodal.register_decoder"

@@ -776,3 +776,125 @@ def bootstrap_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ci_hi", 6).alias("ci_hi"),
         "n_boot",
     )
+
+
+# ===================================================================
+# Genuine-PNG multimodal path (un-stubbed media codec, png.py)
+# ===================================================================
+
+
+def _o_png_stats(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    return f"""WITH {osql.val_cte(spec)},
+{osql.tiles_cte(spec)}
+SELECT t.image_id AS image_id,
+       CAST(MIN(p.v) AS DOUBLE) AS vmin,
+       CAST(MAX(p.v) AS DOUBLE) AS vmax,
+       CAST(SUM(p.v) AS DOUBLE) AS vsum,
+       CAST(SUM(CASE WHEN p.v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero,
+       COUNT(*)::BIGINT AS npx
+FROM val p JOIN tiles t
+  ON p.s = t.s AND p.gx // {tw} = t.tx AND p.gy // {th} = t.ty
+WHERE t.s IN (1, 3)
+GROUP BY t.image_id"""
+
+
+@q("png_tile_stats", _o_png_stats)
+def png_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile stats through GENUINE PNG bytes: transcode each raster tile to a
+    real 8-bit grayscale PNG (pure numpy+zlib codec, gridfia_spark/png.py),
+    then decode through the multimodal registry ('png' is a built-in
+    decoder, not a stub) and aggregate per tile. Two chained map-only
+    stages, no shuffle — proves the image-pipeline plumbing end-to-end on
+    an actual media container format."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from . import codecs, png
+    from .operators import multimodal
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    meta = decode.with_tile_meta(tiles).filter(F.col("s").isin([1, 3]))
+    cols = meta.select("image_id", "bytes", "w", "h", "fmt")
+
+    def transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode(r.bytes, int(r.w), int(r.h), r.fmt)
+                out.append(
+                    (r.image_id, png.encode_png(arr.astype(np.uint8)),
+                     int(r.w), int(r.h))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "bytes", "w", "h"])
+
+    media = cols.mapInPandas(
+        transcode, "media_id string, bytes binary, w int, h int"
+    )
+    decs = dict(multimodal._MEDIA_DECODERS)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = multimodal._decode_media(
+                    bytes(r.bytes), "png", int(r.w), int(r.h), decs
+                ).astype(np.float64)
+                out.append(
+                    (r.media_id, float(arr.min()), float(arr.max()),
+                     float(arr.sum()), int((arr > 0).sum()), arr.size)
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "vmin", "vmax", "vsum", "nonzero", "npx"]
+            )
+
+    return media.mapInPandas(
+        stats,
+        "image_id string, vmin double, vmax double, vsum double, "
+        "nonzero long, npx long",
+    )
+
+
+# ===================================================================
+# Extensibility surface through the gate (SURVEY §2.10): a USER kernel
+# registered at query time runs through the shared metric pass
+# ===================================================================
+
+
+def _o_custom_kernel(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.val_cte(spec)}
+SELECT gx, gy,
+       ROUND(SUM(s * v) / (1.0 + SUM(v)), 6) AS wmean_idx
+FROM val GROUP BY gx, gy"""
+
+
+@q("custom_kernel", _o_custom_kernel)
+def custom_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plugin contract end-to-end (ref registry.py:27-56 /
+    ForestCalculation): a calculation DEFINED AND REGISTERED HERE — not
+    shipped with the engine — runs through the shared applyInPandas kernel
+    pass. metric_layers snapshots the resolved kernel functions at plan
+    time, so a closure-defined plugin reaches every worker; the registry is
+    cleaned up afterwards."""
+    import numpy as np
+
+    from .functions import kernels
+
+    @kernels.register("wmean_species_index")
+    def wmean_species_index(cube: np.ndarray, parity32: bool = False) -> np.ndarray:
+        sp = cube[1:].astype(np.float64)
+        idx = np.arange(1, cube.shape[0], dtype=np.float64)
+        return np.tensordot(idx, sp, axes=1) / (1.0 + sp.sum(axis=0))
+
+    try:
+        tiles = tgen.ensure_tiles(spark, sf_dir)
+        out = metrics.metric_layers(
+            tiles, [metrics.MetricSpec("wmean_idx", "wmean_species_index")]
+        )
+    finally:
+        kernels.unregister("wmean_species_index")
+    return out.select("gx", "gy", F.round("wmean_idx", 6).alias("wmean_idx"))

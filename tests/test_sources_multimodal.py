@@ -121,41 +121,48 @@ class TestMultimodal:
                      16, 16, 1, 0, "a fake image"))
         frames = np.stack([np.full((8, 8), i, dtype="<f4") for i in range(6)])
         rows.append(("vid1", bytearray(frames.tobytes()), "video", "raw32", 8, 8, 6, 0, "a clip"))
-        rows.append(("img3", bytearray(b"\x89PNG..."), "image", "png", 4, 4, 1, 0, "real png"))
+        rows.append(("img3", bytearray(b"\xff\xd8jpegbytes"), "image", "jpeg", 4, 4, 1, 0, "a jpeg"))
         return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
 
     def test_feature_extract(self, spark, media):
-        ok = media.filter(F.col("fmt") != "png")
+        ok = media.filter(F.col("fmt") != "jpeg")
         out = {r.media_id: r for r in multimodal.extract_features(ok).collect()}
         arr = pixels.tile_pixels(1, 0, 0, SPEC)
         assert out["img1"].mean_v == pytest.approx(float(arr.mean()))
         assert out["img2"].max_v <= 250
 
     def test_stub_raises_for_real_codecs(self, spark, media):
+        # png is a REAL built-in codec now (gridfia_spark/png.py); jpeg is
+        # still a stub until a decoder is registered
         with pytest.raises(Exception, match="needs PIL/ffmpeg"):
-            multimodal.extract_features(media.filter(F.col("fmt") == "png")).collect()
+            multimodal.extract_features(media.filter(F.col("fmt") == "jpeg")).collect()
 
     def test_decoder_registration(self, spark, media):
         """Registering a codec makes every operator decode that format —
         including inside Spark tasks (the registry snapshot must ride the
         UDF closure into the worker processes)."""
 
-        def fake_png(data: bytes, w: int, h: int):
+        def fake_jpeg(data: bytes, w: int, h: int):
             return np.full((h, w), float(len(data)), dtype=np.float32)
 
-        multimodal.register_decoder("png", fake_png)
+        multimodal.register_decoder("jpeg", fake_jpeg)
         try:
             out = multimodal.extract_features(
-                media.filter(F.col("fmt") == "png")
+                media.filter(F.col("fmt") == "jpeg")
             ).collect()
-            assert len(out) == 1 and out[0].mean_v == pytest.approx(7.0)  # len(b"\x89PNG...")
-            rs = multimodal.resize(media.filter(F.col("fmt") == "png"), 2, 2).first()
+            assert len(out) == 1 and out[0].mean_v == pytest.approx(11.0)  # len(b"\xff\xd8jpegbytes")
+            rs = multimodal.resize(media.filter(F.col("fmt") == "jpeg"), 2, 2).first()
             assert (rs.w, rs.h) == (2, 2)
         finally:
-            multimodal.unregister_decoder("png")
+            multimodal.unregister_decoder("jpeg")
         # after unregister the stub contract is back
         with pytest.raises(Exception, match="needs PIL/ffmpeg"):
-            multimodal.extract_features(media.filter(F.col("fmt") == "png")).collect()
+            multimodal.extract_features(media.filter(F.col("fmt") == "jpeg")).collect()
+        # unregistering an override of a BUILT-IN must restore it, not
+        # strip it: png still decodes afterwards
+        multimodal.register_decoder("png", fake_jpeg)
+        multimodal.unregister_decoder("png")
+        assert "png" in multimodal._MEDIA_DECODERS
 
     def test_resize(self, spark, media):
         out = multimodal.resize(media.filter(F.col("media_id") == "img1"), 8, 8).first()
