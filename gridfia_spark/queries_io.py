@@ -256,6 +256,59 @@ def streaming_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("poly_id", "s", "n_px", "sum_v", "max_v", "nonzero_px")
 
 
+# ===================================================================
+# NetCDF dataset content (S13; ref forest_metrics.py:603-637)
+# ===================================================================
+
+
+def _o_netcdf_coords(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""SELECT 'x' AS axis, i AS idx, {osql.X0_SQL} + i * 30.0 AS coord
+FROM generate_series(0, {spec.gw - 1}) t(i)
+UNION ALL
+SELECT 'y' AS axis, j AS idx, {osql.Y0_SQL} - j * 30.0 AS coord
+FROM generate_series(0, {spec.gh - 1}) t(j)"""
+
+
+@q("netcdf_coords", _o_netcdf_coords)
+def netcdf_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 coordinate parity: the xarray-convention coordinate arrays the
+    reference's NetCDF sink derives from the affine
+    (forest_metrics.py:614-620, transform applied to index vectors -> pixel
+    edges). Exact float64 both sides."""
+    spec = spec_for_sf_dir(sf_dir)
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    rich = metrics.metric_layers(
+        tiles, [metrics.MetricSpec("richness", "species_richness", {}, "long")]
+    )
+    coords, _var, attrs = sinks.netcdf_dataset(rich, "richness", spec.gw, spec.gh)
+    assert attrs["crs"]  # the dataset carries its CRS attr
+    return coords
+
+
+def _o_netcdf_variable(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.val_cte(spec)}
+SELECT {osql.Y0_SQL} - gy * 30.0 AS y,
+       {osql.X0_SQL} + gx * 30.0 AS x,
+       CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS richness
+FROM val GROUP BY gx, gy"""
+
+
+@q("netcdf_variable", _o_netcdf_variable)
+def netcdf_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 variable parity: the metric layer keyed by the NetCDF coordinate
+    arrays (y, x) instead of pixel indices — what xarray stores as the data
+    variable."""
+    spec = spec_for_sf_dir(sf_dir)
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    rich = metrics.metric_layers(
+        tiles, [metrics.MetricSpec("richness", "species_richness", {}, "long")]
+    )
+    _coords, var, _attrs = sinks.netcdf_dataset(rich, "richness", spec.gw, spec.gh)
+    return var
+
+
 # product/statistics queries (render, threshold kernels, bootstrap CI) —
 # imported last so their @q registrations land in the shared registry
 from . import queries_products  # noqa: E402,F401

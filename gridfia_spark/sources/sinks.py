@@ -54,6 +54,42 @@ def metric_to_tiles(
     )
 
 
+def netcdf_dataset(
+    metric_px: DataFrame, metric: str, width: int, height: int
+) -> tuple[DataFrame, DataFrame, dict[str, str]]:
+    """S13 NetCDF sink content (ref forest_metrics.py:603-637): the exact
+    xarray-Dataset data an engine-side netCDF writer would serialize —
+
+    - coords: (axis, idx, coord) rows with the affine applied to the index
+      vectors precisely as the reference does (``transform * (cols, 0)`` →
+      x = X0 + col*PIX, y = Y0 - row*PIX — pixel edges, no half-pixel
+      shift),
+    - the variable as (y, x, <metric>) rows keyed by those coordinates,
+    - the global attrs dict ({'crs', 'units'}).
+
+    The sandbox ships no netCDF library, so the container write itself is
+    the one documented gap; everything xarray would put IN the container is
+    produced and oracle-checked here."""
+    spark = metric_px.sparkSession
+    xs = spark.range(width).select(
+        F.lit("x").alias("axis"),
+        F.col("id").alias("idx"),
+        (F.lit(X0) + F.col("id") * F.lit(PIX)).alias("coord"),
+    )
+    ys = spark.range(height).select(
+        F.lit("y").alias("axis"),
+        F.col("id").alias("idx"),
+        (F.lit(Y0) - F.col("id") * F.lit(PIX)).alias("coord"),
+    )
+    coords = xs.unionByName(ys)
+    var = metric_px.select(
+        (F.lit(Y0) - F.col("gy") * F.lit(PIX)).alias("y"),
+        (F.lit(X0) + F.col("gx") * F.lit(PIX)).alias("x"),
+        F.col(metric),
+    )
+    return coords, var, {"crs": CRS, "units": UNITS}
+
+
 def write_report_csv(df: DataFrame, path: str) -> None:
     """CSV report sink (S15) — single-file, header, deterministic order."""
     df.toPandas().sort_values(list(df.columns)).to_csv(path, index=False)
