@@ -1021,6 +1021,56 @@ def ivf_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_ann_recall(sf_dir: str) -> str:
+    # the oracle asserts the CONTRACT (recall >= 0.9 against the exact
+    # brute-force top-k, over all 20 probe queries); the engine emits the
+    # MEASUREMENT — a recall regression in either ANN index flips the
+    # boolean and fails the gate
+    return """SELECT 'ann_lsh' AS method, TRUE AS recall_ge_090, 20::BIGINT AS n_queries
+UNION ALL
+SELECT 'ivf' AS method, TRUE AS recall_ge_090, 20::BIGINT AS n_queries
+ORDER BY method"""
+
+
+@q("ann_recall", _o_ann_recall)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@1 of both approximate indexes (hyperplane-LSH and IVF
+    multi-probe) against the exact cosine top-1, through the value gate —
+    converting the rows-only ANN entries into a value-asserted contract.
+
+    Probes are PLANTED near-duplicates (source vector + 8% deterministic
+    seeded noise): the testdata embeddings are uniform-random, where true
+    top-k neighbors are barely closer than random points — a regime NO
+    sublinear index can serve (LSH/IVF recall there measures the data, not
+    the index). Planted probes measure the regime ANN exists for: genuinely
+    near neighbors. Exact top-1 is computed in-engine as the baseline; the
+    oracle asserts the recall>=0.9 contract booleans."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect()
+    probes = []
+    for r in src:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        noise = np.random.default_rng(int(r.vec_id)).standard_normal(v.size)
+        q = v + 0.08 * float(np.linalg.norm(v)) * noise / float(np.linalg.norm(noise))
+        probes.append((1_000_000 + int(r.vec_id), [float(x) for x in q]))
+    qdf = spark.createDataFrame(probes, "vec_id long, embedding array<double>")
+    exact = similarity.cosine_topk(qdf, emb, k=1).select("q_id", "t_id").cache()
+    n_q = exact.count()
+    rows = []
+    for method, topk in (
+        ("ann_lsh", similarity.ann_cosine_topk(qdf, emb, k=1)),
+        ("ivf", similarity.ivf_cosine_topk(qdf, emb, k=1, n_clusters=16, nprobe=4)),
+    ):
+        hits = exact.join(topk.select("q_id", "t_id"), ["q_id", "t_id"]).count()
+        rows.append((method, hits / n_q >= 0.9, n_q))
+    exact.unpersist()
+    return spark.createDataFrame(
+        rows, "method string, recall_ge_090 boolean, n_queries long"
+    )
+
+
 def _o_perm_test(sf_dir: str) -> str:
     return """WITH base AS (
   SELECT l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR || '-' ||
