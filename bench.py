@@ -79,13 +79,17 @@ def run_bench() -> dict:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    # flagship throughput at the configured parallelism (best of 3)
-    flagship_s = float("inf")
-    for _ in range(3):
+    # flagship throughput at the configured parallelism: STEADY-STATE
+    # median-of-5 after the warmup block above — a single cold/noisy run
+    # must not set the headline (sub-10s jobs swing ±50% on this shared
+    # host); best-of-5 recorded alongside as the capability bound
+    runs = []
+    for _ in range(5):
         t0 = time.time()
         n_images = flagship_job(spark, SF_DIR)
-        flagship_s = min(flagship_s, time.time() - t0)
+        runs.append(time.time() - t0)
     spark.stop()
+    flagship_s = sorted(runs)[len(runs) // 2]
     result = {
         "metric": "spatial_join_tile_assignment_images_per_sec",
         "value": round(n_images / flagship_s, 1),
@@ -96,6 +100,8 @@ def run_bench() -> dict:
         "images": n_images,
         "images_per_sec": round(n_images / flagship_s, 1),
         "flagship_sec": round(flagship_s, 3),
+        "flagship_best_sec": round(min(runs), 3),
+        "flagship_runs_sec": [round(t, 3) for t in runs],
         "cpus": CPUS,
     }
     # recorded N->4N evidence from the last full `python bench.py --scaling`

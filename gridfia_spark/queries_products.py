@@ -898,3 +898,102 @@ def custom_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         kernels.unregister("wmean_species_index")
     return out.select("gx", "gy", F.round("wmean_idx", 6).alias("wmean_idx"))
+
+
+# ===================================================================
+# TPC-H Q2-style correlated-min supplier and Q18-style HAVING/IN
+# (relational completeness: correlated subqueries, semijoin-on-agg)
+# ===================================================================
+
+
+def _o_min_cost_supplier(sf_dir: str) -> str:
+    # equality on the stored parquet double (no arithmetic before the
+    # compare), so MIN and the re-join match bit-for-bit on both engines
+    return """WITH cost AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (SELECT l_partkey, MIN(price) AS best_price FROM cost GROUP BY l_partkey)
+SELECT c.l_partkey AS p_partkey, s.s_name AS s_name, n.n_name AS n_name,
+       ROUND(c.price, 2) AS min_price
+FROM cost c
+JOIN best b ON c.l_partkey = b.l_partkey AND c.price = b.best_price
+JOIN supplier s ON c.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE' AND c.l_partkey < 200"""
+
+
+@q("min_cost_supplier", _o_min_cost_supplier)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style correlated minimum: for each part, the EUROPE
+    supplier(s) quoting the minimum price — groupBy-min + equality re-join
+    (the decorrelated plan Catalyst produces for the Q2 subquery), dims
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cost = (
+        li.filter(F.col("l_partkey") < 200)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("price"))
+    )
+    best = (
+        cost.groupBy("l_partkey")
+        .agg(F.min("price").alias("best_price"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+    )
+    dims = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        cost.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("price") == F.col("best_price")),
+        )
+        .select(F.col("l_partkey").alias("p_partkey"), "l_suppkey", "price")
+        .join(F.broadcast(dims), F.col("l_suppkey") == dims.s_suppkey)
+        .select(
+            "p_partkey", "s_name", "n_name", F.round("price", 2).alias("min_price")
+        )
+    )
+
+
+def _o_big_orders(sf_dir: str) -> str:
+    return """SELECT c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey,
+       CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+GROUP BY c.c_custkey, o.o_orderkey"""
+
+
+@q("big_orders", _o_big_orders)
+def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: HAVING-filtered aggregate as an
+    IN-subquery, recast as an aggregate + left-semi join (the distributed
+    decorrelation; quantities are small ints so SUM is exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+    )
