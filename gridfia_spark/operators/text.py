@@ -207,6 +207,49 @@ def simhash64(docs: DataFrame, k: int = 5) -> DataFrame:
     return agg.select("doc_id", val.alias("simhash"))
 
 
+_POLY_MOD = 2147483647  # 2^31 - 1: keeps the fold in exact BIGINT range on
+# engines with strict (non-wrapping) int64 arithmetic
+
+
+def _poly_hash(seed: int, mult: int):
+    """31-bit polynomial rolling hash of the shingle column — a HASH BOTH
+    ENGINES CAN COMPUTE (fold of (a*mult + ascii(char)) % (2^31-1)), unlike
+    xxhash64. Exact in int64: max intermediate < 2^31 * mult + 255."""
+    return F.expr(
+        "aggregate(transform(sequence(1, length(shingle)), "
+        "i -> CAST(ascii(substring(shingle, i, 1)) AS BIGINT)), "
+        f"{seed}L, (a, c) -> (a * {mult}L + c) % {_POLY_MOD}L)"
+    )
+
+
+def simhash_portable(docs: DataFrame, k: int = 5) -> DataFrame:
+    """62-bit SimHash from two independent 31-bit polynomial shingle hashes
+    (bits 0-30 from h1, 31-61 from h2) — the same bit-vote aggregation as
+    ``simhash64`` but with an engine-portable hash, so the whole pipeline is
+    SQL-oracle-checkable. ``simhash64`` (xxhash64) remains the production
+    variant; this one exists to put the simhash MACHINERY (multiset shingle
+    votes, sign assembly) through the value gate."""
+    sh = shingles(docs, k).select(
+        "doc_id",
+        _poly_hash(17, 31).alias("h1"),
+        _poly_hash(29, 37).alias("h2"),
+    )
+    votes = []
+    for i in range(62):
+        src, off = ("h1", i) if i < 31 else ("h2", i - 31)
+        votes.append(
+            F.sum(
+                F.shiftright(src, off).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+            ).alias(f"v{i}")
+        )
+    agg = sh.groupBy("doc_id").agg(*votes)
+    val = None
+    for i in range(62):
+        bit = F.shiftleft((F.col(f"v{i}") > 0).cast("long"), i)
+        val = bit if val is None else val + bit
+    return agg.select("doc_id", val.alias("simhash"))
+
+
 def near_dup_components(pairs: DataFrame, docs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over the near-dup pair graph: every document
     gets the component id = min doc_id reachable through near-dup edges

@@ -407,6 +407,44 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_simhash_portable(sf_dir: str) -> str:
+    return f"""WITH sh AS (
+  SELECT d.doc_id, substr(d.text, g.i::INT, 5) AS shingle
+{_SHINGLE_SERIES}
+),
+h AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(17::BIGINT,
+      list_transform(generate_series(1, length(shingle)),
+                     i -> ascii(substr(shingle, i::INT, 1))::BIGINT)),
+      (a, b) -> (a * 31 + b) % 2147483647) AS h1,
+    list_reduce(list_prepend(29::BIGINT,
+      list_transform(generate_series(1, length(shingle)),
+                     i -> ascii(substr(shingle, i::INT, 1))::BIGINT)),
+      (a, b) -> (a * 37 + b) % 2147483647) AS h2
+  FROM sh
+),
+votes AS (
+  SELECT doc_id, b.i AS b,
+         SUM(CASE WHEN (CASE WHEN b.i < 31 THEN h1 >> b.i::INT
+                             ELSE h2 >> (b.i - 31)::INT END) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM h, generate_series(0, 61) b(i)
+  GROUP BY doc_id, b.i
+)
+SELECT doc_id,
+       SUM(CASE WHEN v > 0 THEN 1::BIGINT << b::INT ELSE 0::BIGINT END)::BIGINT
+         AS simhash
+FROM votes GROUP BY doc_id"""
+
+
+@q("simhash_portable", _o_simhash_portable)
+def simhash_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bit-vote machinery through the value gate (engine-portable
+    polynomial shingle hash; simhash64/xxhash64 stays the production op)."""
+    return text.simhash_portable(_t(spark, sf_dir, "documents"))
+
+
 @q("simhash64", None)  # rows-only
 def simhash64_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document."""

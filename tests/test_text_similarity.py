@@ -109,6 +109,20 @@ class TestSimhash:
 
         assert ham(out[0], out[2]) < ham(out[0], out[4])
 
+    def test_portable_variant_same_semantics(self, spark, docs):
+        """simhash_portable (engine-portable polynomial hash, 62 bits) keeps
+        the simhash contract: identical docs collide, near-dups are closer
+        than unrelated docs."""
+        out = {r.doc_id: r.simhash for r in text.simhash_portable(docs).collect()}
+        assert len(out) == 7
+        assert out[0] == out[1]
+        assert all(0 <= v < (1 << 62) for v in out.values())
+
+        def ham(a, b):
+            return bin(a ^ b).count("1")
+
+        assert ham(out[0], out[2]) < ham(out[0], out[4])
+
 
 class TestLangAndQuality:
     def test_lang_scores(self, spark):
