@@ -20,10 +20,14 @@ _INVARIANCE_SNIPPET = """
 import sys, json; sys.path.insert(0, "/root/repo")
 from gridfia_spark.session import get_spark
 from gridfia_spark import queries as Q
+from gridfia_spark.queries_products import zonal_percentiles
 spark = get_spark(cores={cores}, shuffle_partitions={sh})
 pdf = Q.zonal_total_biomass(spark, "/root/testdata/sf0.001").toPandas()
 pdf = pdf.sort_values("poly_id", ignore_index=True)
-print("RESULT" + json.dumps(pdf.to_dict("records")))
+pct = zonal_percentiles(spark, "/root/testdata/sf0.001").toPandas()
+pct = pct.sort_values("poly_id", ignore_index=True)
+print("RESULT" + json.dumps({{"zonal": pdf.to_dict("records"),
+                              "pct": pct.to_dict("records")}}))
 spark.stop()
 """
 
@@ -43,8 +47,9 @@ def _run_at(cores: int, shuffle: int) -> list[dict]:
 
 class TestParallelismInvariance:
     def test_local1_equals_local4(self):
-        """Zonal results must be bit-identical across parallelism levels and
-        shuffle-partition settings (deterministic per-tile partials)."""
+        """Zonal sums AND histogram percentiles must be bit-identical across
+        parallelism levels and shuffle-partition settings (deterministic
+        per-tile partials; the histogram percentile walk is order-free)."""
         a = _run_at(1, 2)
         b = _run_at(4, 16)
         assert a == b
