@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Calibration-gated scaling measurement: probe the shared host first, run
+the full protocol only in a clean window, accept the record only if the
+CONCURRENT calibration confirms the window stayed clean. This is the
+documented methodology for measuring engine scaling on shared hardware
+(BENCH/BASELINE.md) — otherwise the number measures the co-tenant."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import bench  # noqa: E402
+
+MAX_ATTEMPTS = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+PROBE_GATE = 0.80  # pre-run host probe must scale at least this
+RUN_GATE = 0.78  # concurrent calibration must confirm the window held
+
+
+def log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+for attempt in range(1, MAX_ATTEMPTS + 1):
+    log(f"attempt {attempt}: probing host...")
+    probe = bench.host_calibration()
+    eff = probe["host_efficiency"]
+    spread8 = max(probe["local[8]"]["all_runs_sec"]) / min(
+        probe["local[8]"]["all_runs_sec"]
+    )
+    log(f"probe: host_efficiency={eff} local[8] spread={spread8:.2f}")
+    if eff < PROBE_GATE or spread8 > 1.4:
+        log("host dirty; sleeping 300s")
+        time.sleep(300)
+        continue
+    log("host clean; running full scaling protocol")
+    out = bench.run_scaling()
+    cal = out["host_calibration"]["host_efficiency"]
+    e28 = out["scaling_efficiency_2_to_8"]
+    log(f"run done: engine(2->8)={e28} concurrent host calibration={cal}")
+    print("SCALING_RESULT " + json.dumps(out))
+    if cal >= RUN_GATE:
+        log("window held — record accepted")
+        sys.exit(0)
+    log("window contaminated mid-run; retrying")
+log("no clean window found in budget")
+sys.exit(2)
