@@ -3,7 +3,8 @@ metadata, processed by Arrow-batched UDFs.
 
 The Spark-side machinery (schemas, partitioning, UDF signatures, batch
 shapes) is real and tested. PNG is a REAL codec (pure numpy+zlib,
-gridfia_spark/png.py — 8-bit gray/RGB/RGBA, all five scanline filters);
+gridfia_spark/png.py — 8-bit gray/RGB/RGBA, all five scanline filters) and
+so is WAV (pure numpy+struct RIFF/PCM16, gridfia_spark/wav.py);
 JPEG/MP3/H.264 remain STUBBED behind ``NotImplementedError`` because the
 sandbox ships no media libraries — drop PIL/ffmpeg into ``_MEDIA_DECODERS``
 and everything else works unchanged. The engine's own raster codecs double
@@ -45,8 +46,21 @@ def _png_decoder(data: bytes, w: int, h: int) -> np.ndarray:
     return arr.astype(np.float32)
 
 
+def _wav_decoder(data: bytes, w: int, h: int) -> np.ndarray:
+    """Built-in pure-python WAV decode -> (1, n) float32 mono waveform
+    (multi-channel mixes down by mean; w is n_samples, h is 1 in the media
+    schema convention for audio rows)."""
+    from .. import wav
+
+    arr, _rate = wav.decode_wav(data)
+    if w and arr.shape[0] != w:
+        raise ValueError(f"WAV has {arr.shape[0]} samples != metadata w={w}")
+    return arr.astype(np.float32).mean(axis=1)[None, :]
+
+
 _DEFAULT_DECODERS: dict[str, Callable[[bytes, int, int], np.ndarray]] = {
     "png": _png_decoder,
+    "wav": _wav_decoder,
 }
 _MEDIA_DECODERS: dict[str, Callable[[bytes, int, int], np.ndarray]] = dict(
     _DEFAULT_DECODERS
@@ -87,7 +101,7 @@ def _decode_media(
         seed = int.from_bytes(data[:8].ljust(8, b"\0"), "little") % (2**31)
         gy, gx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
         return (((gx * 31 + gy * 17 + seed) % 251)).astype(np.float32)
-    if fmt in ("jpeg", "webp", "mp3", "wav", "h264"):
+    if fmt in ("jpeg", "webp", "mp3", "h264"):
         raise NotImplementedError(
             f"media codec {fmt!r} needs PIL/ffmpeg (not in this sandbox); "
             "register one with multimodal.register_decoder"
@@ -161,9 +175,49 @@ def resize(media: DataFrame, out_w: int, out_h: int, fmt: str = "raw32") -> Data
     )
 
 
+def encode_pngseq(frames: list[np.ndarray]) -> bytes:
+    """Pack uint8 frames into the 'pngseq' video container: ``b'PSEQ'`` +
+    u32 n_frames, then per frame u32 length + genuine PNG bytes
+    (gridfia_spark/png.py). The MJPEG pattern — independently-decodable
+    intra frames — which is exactly what a frame-sampling pipeline wants:
+    every k-th frame decodes without touching the others."""
+    import struct
+
+    from .. import png
+
+    payload = [b"PSEQ", struct.pack("<I", len(frames))]
+    for f in frames:
+        data = png.encode_png(np.asarray(f, dtype=np.uint8))
+        payload.append(struct.pack("<I", len(data)))
+        payload.append(data)
+    return b"".join(payload)
+
+
+def split_pngseq(data: bytes) -> list[bytes]:
+    """Split a 'pngseq' container into its per-frame PNG byte strings
+    WITHOUT decoding them — the cheap seek path frame sampling relies on."""
+    import struct
+
+    if data[:4] != b"PSEQ":
+        raise ValueError("not a pngseq container")
+    (n,) = struct.unpack("<I", data[4:8])
+    pos, out = 8, []
+    for _ in range(n):
+        (size,) = struct.unpack("<I", data[pos : pos + 4])
+        out.append(data[pos + 4 : pos + 4 + size])
+        pos += 4 + size
+    if pos != len(data):
+        raise ValueError("trailing bytes after last pngseq frame")
+    return out
+
+
 def sample_frames(media: DataFrame, every_k: int = 2, fmt: str = "raw32") -> DataFrame:
-    """Frame sampling for 'video' rows: bytes hold n_frames stacked raw32
-    frames; emit every k-th frame as its own image row (explode pattern)."""
+    """Frame sampling for 'video' rows: emit every k-th frame as its own
+    image row (explode pattern). Container dispatch on the row's ``fmt``:
+    'pngseq' rows split into genuine PNG frames (decoded through the
+    registry's built-in png codec, skipping unsampled frames entirely);
+    anything else holds n_frames stacked raw32 frames."""
+    decs = dict(_MEDIA_DECODERS)  # snapshot: registrations ride the closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -171,12 +225,25 @@ def sample_frames(media: DataFrame, every_k: int = 2, fmt: str = "raw32") -> Dat
             for r in pdf.itertuples(index=False):
                 n = int(r.n_frames)
                 w, h = int(r.w), int(r.h)
-                frames = np.frombuffer(r.bytes, dtype="<f4").reshape(n, h, w)
+                if r.fmt == "pngseq":
+                    raw = split_pngseq(bytes(r.bytes))
+                    if len(raw) != n:
+                        raise ValueError(
+                            f"pngseq has {len(raw)} frames != metadata {n}"
+                        )
+                    frames = None
+                else:
+                    frames = np.frombuffer(r.bytes, dtype="<f4").reshape(n, h, w)
                 for fi in range(0, n, every_k):
+                    frame = (
+                        _decode_media(raw[fi], "png", w, h, decs)
+                        if frames is None
+                        else frames[fi]
+                    )
                     out.append(
                         (
                             f"{r.media_id}_f{fi:04d}",
-                            codecs.encode(frames[fi], fmt),
+                            codecs.encode(frame, fmt),
                             w,
                             h,
                             fmt,

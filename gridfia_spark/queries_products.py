@@ -997,3 +997,257 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "o_orderkey")
         .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
     )
+
+
+# ===================================================================
+# Genuine-WAV multimodal path (un-stubbed audio codec, wav.py)
+# ===================================================================
+
+
+def _o_wav_stats(sf_dir: str) -> str:
+    return """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+s AS (
+  SELECT d.doc_id,
+         ((d.doc_id*7919 + i.i*104729 + 13) % 65536) - 32768 AS v
+  FROM d, generate_series(0, 256) i(i)
+  WHERE i.i < 100 + (d.doc_id % 157)
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_samples,
+       SUM(v)::BIGINT AS sum_v,
+       SUM(ABS(v))::BIGINT AS sum_abs,
+       MAX(ABS(v))::BIGINT AS peak,
+       ROUND(SUM(v)::DOUBLE / COUNT(*), 6) AS mean_v
+FROM s GROUP BY doc_id"""
+
+
+@q("wav_audio_stats", _o_wav_stats)
+def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio stats through GENUINE WAV containers: synthesize a deterministic
+    int16 PCM stream per document (pure int64 math, mirrored in the oracle),
+    wrap it in a real RIFF/WAVE file (gridfia_spark/wav.py), then decode
+    through the multimodal registry ('wav' is a built-in decoder, not a
+    stub) and aggregate waveform stats. Two chained map-only Arrow stages,
+    zero shuffle before the final per-doc aggregate — the audio twin of
+    png_tile_stats, proving the audio-pipeline plumbing end-to-end on an
+    actual media container (ref analogue: opaque-container-at-the-task,
+    zarr_utils.py:684-694)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from . import wav
+    from .operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ids = docs.select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                n = 100 + (d % 157)
+                i = np.arange(n, dtype=np.int64)
+                v = ((d * 7919 + i * 104729 + 13) % 65536) - 32768
+                out.append(
+                    (str(d), wav.encode_wav(v.astype(np.int16), 16_000), n, 1)
+                )
+            yield pd.DataFrame(out, columns=["media_id", "bytes", "w", "h"])
+
+    media = ids.mapInPandas(
+        synth, "media_id string, bytes binary, w int, h int"
+    )
+    decs = dict(multimodal._MEDIA_DECODERS)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = multimodal._decode_media(
+                    bytes(r.bytes), "wav", int(r.w), int(r.h), decs
+                )
+                v = arr.astype(np.int64).ravel()
+                out.append(
+                    (int(r.media_id), v.size, int(v.sum()),
+                     int(np.abs(v).sum()), int(np.abs(v).max()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_samples", "sum_v", "sum_abs", "peak"],
+            )
+
+    out = media.mapInPandas(
+        stats,
+        "doc_id long, n_samples long, sum_v long, sum_abs long, peak long",
+    )
+    # mean computed JVM-side so ROUND semantics (HALF_UP) match DuckDB
+    return out.select(
+        "doc_id", "n_samples", "sum_v", "sum_abs", "peak",
+        F.round(F.col("sum_v") / F.col("n_samples"), 6).alias("mean_v"),
+    )
+
+
+# ===================================================================
+# Z-order (space-filling-curve) storage layout — cluster-by key + locality
+# ===================================================================
+
+
+def _o_zorder(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH t AS (
+  SELECT txs.tx AS tx, tys.ty AS ty
+  FROM generate_series(0, {spec.tiles_x - 1}) txs(tx),
+       generate_series(0, {spec.tiles_y - 1}) tys(ty)
+),
+z AS (
+  SELECT tx, ty,
+         CAST(SUM((((tx >> b.i) & 1) << (2*b.i))
+                + (((ty >> b.i) & 1) << (2*b.i + 1))) AS BIGINT) AS zkey
+  FROM t, generate_series(0, 7) b(i)
+  GROUP BY tx, ty
+)
+SELECT zkey // 4 AS bucket,
+       COUNT(*)::BIGINT AS n_tiles,
+       MIN(tx)::BIGINT AS min_tx, MAX(tx)::BIGINT AS max_tx,
+       MIN(ty)::BIGINT AS min_ty, MAX(ty)::BIGINT AS max_ty,
+       ((MAX(tx)-MIN(tx)+1) * (MAX(ty)-MIN(ty)+1))::BIGINT AS bbox_area
+FROM z GROUP BY zkey // 4"""
+
+
+@q("zorder_layout", _o_zorder)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key for the tile table, computed entirely
+    JVM-side with shiftleft/shiftright/bitwiseAND built-ins (no UDF), plus
+    per-z-block locality stats. This is the storage-layout primitive for the
+    100 TB deployment: writing tiles ordered by zkey
+    (``repartitionByRange('zkey').sortWithinPartitions('zkey')``) gives every
+    file a spatially-compact footprint, so parquet min/max stats on (tx, ty)
+    prune bbox queries to O(touched blocks) files — same role as the
+    reference's pyramid-of-tiles chunk layout (zarr_utils.py:233-268). The
+    bbox_area column IS the evidence: each 4-cell z-block spans a 2x2 tile
+    square, never a 1xN stripe (see tests/test_zorder.py for the row-major
+    comparison)."""
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    t = decode.with_tile_meta(tiles).filter(F.col("s") == 1).select("tx", "ty")
+    zkey = F.lit(0)
+    for b in range(8):
+        zkey = zkey + F.shiftleft(
+            F.shiftright(F.col("tx").cast("long"), b).bitwiseAND(1), 2 * b
+        ) + F.shiftleft(
+            F.shiftright(F.col("ty").cast("long"), b).bitwiseAND(1), 2 * b + 1
+        )
+    z = t.withColumn("zkey", zkey.cast("long"))
+    return (
+        z.groupBy(F.shiftright("zkey", 2).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.min("tx").cast("long").alias("min_tx"),
+            F.max("tx").cast("long").alias("max_tx"),
+            F.min("ty").cast("long").alias("min_ty"),
+            F.max("ty").cast("long").alias("max_ty"),
+        )
+        .select(
+            "bucket", "n_tiles", "min_tx", "max_tx", "min_ty", "max_ty",
+            (
+                (F.col("max_tx") - F.col("min_tx") + 1)
+                * (F.col("max_ty") - F.col("min_ty") + 1)
+            ).cast("long").alias("bbox_area"),
+        )
+    )
+
+
+def _o_video_stats(sf_dir: str) -> str:
+    return """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+f AS (
+  SELECT d.doc_id, fi.i AS frame_idx
+  FROM d, generate_series(0, 8) fi(i)
+  WHERE fi.i < 4 + (d.doc_id % 5) AND fi.i % 2 = 0
+),
+px AS (
+  SELECT f.doc_id, f.frame_idx,
+         ((f.doc_id*7907 + f.frame_idx*104723 + yi.i*31 + xi.i*17 + 11) % 251) AS v
+  FROM f, generate_series(0, 11) yi(i), generate_series(0, 15) xi(i)
+)
+SELECT doc_id, frame_idx,
+       COUNT(*)::BIGINT AS npx,
+       SUM(v)::BIGINT AS sum_v,
+       MIN(v)::BIGINT AS min_v,
+       MAX(v)::BIGINT AS max_v,
+       SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END)::BIGINT AS nonzero
+FROM px GROUP BY doc_id, frame_idx"""
+
+
+@q("video_frame_stats", _o_video_stats)
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through a GENUINE intra-frame container:
+    synthesize a deterministic multi-frame video per document (pure int64
+    pixel math, mirrored in the oracle), pack it as 'pngseq' — real PNG
+    frames behind a length-prefixed index, the MJPEG pattern — then run the
+    engine's sample_frames explode (every 2nd frame, decoded through the
+    registry's built-in png codec without touching unsampled frames) and
+    aggregate per sampled frame. Three chained map-only Arrow stages, one
+    final tiny groupBy — the video twin of png_tile_stats/wav_audio_stats,
+    closing the image/audio/video multimodal triple on actual container
+    bytes (ref analogue: opaque-container-at-the-task, zarr_utils.py:684-694)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal
+
+    W, H = 16, 12
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yi = np.arange(H, dtype=np.int64)[:, None]
+        xi = np.arange(W, dtype=np.int64)[None, :]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                n = 4 + (d % 5)
+                frames = [
+                    ((d * 7907 + f * 104723 + yi * 31 + xi * 17 + 11) % 251
+                     ).astype(np.uint8)
+                    for f in range(n)
+                ]
+                out.append(
+                    (str(d), multimodal.encode_pngseq(frames), "video",
+                     "pngseq", W, H, n, 0, "")
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "bytes", "media_type", "fmt", "w", "h",
+                         "n_frames", "sample_rate", "caption"],
+            )
+
+    media = ids.mapInPandas(synth, multimodal.MEDIA_SCHEMA)
+    sampled = multimodal.sample_frames(media, every_k=2, fmt="raw32")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode(bytes(r.bytes), int(r.w), int(r.h), r.fmt)
+                v = arr.astype(np.int64).ravel()
+                doc = int(r.media_id.split("_f")[0])
+                out.append(
+                    (doc, int(r.frame_idx), v.size, int(v.sum()),
+                     int(v.min()), int(v.max()), int((v > 0).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "frame_idx", "npx", "sum_v", "min_v",
+                         "max_v", "nonzero"],
+            )
+
+    return sampled.mapInPandas(
+        stats,
+        "doc_id long, frame_idx long, npx long, sum_v long, min_v long, "
+        "max_v long, nonzero long",
+    )
