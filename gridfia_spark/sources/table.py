@@ -67,11 +67,30 @@ def enriched_tiles(tiles: DataFrame, join_res: int = 15) -> DataFrame:
     )
 
 
-def write_tiles(tiles: DataFrame, target: str, join_res: int = 15) -> str:
+def write_tiles(
+    tiles: DataFrame,
+    target: str,
+    join_res: int = 15,
+    cluster: bool = False,
+    n_files: int | None = None,
+) -> str:
     """Write the tile table to Iceberg (if available) or layout-equivalent
-    Parquet. Returns the backend used."""
+    Parquet. Returns the backend used.
+
+    ``cluster=True`` range-partitions the write by the Morton ``cell_id``
+    (``repartitionByRange`` + sort) so every output file covers one compact
+    z-range — a spatially square-ish (tile_x, tile_y) footprint — and bbox
+    scans prune to the few files whose min/max stats intersect the query
+    window (Iceberg's 'sort-order' does this natively; this is the Parquet
+    emulation, verified in tests/test_zorder.py). Without it, files are laid
+    out by whatever partitioning the input arrived with, and every file is
+    a candidate for every bbox."""
     spark = tiles.sparkSession
-    df = enriched_tiles(tiles, join_res).sortWithinPartitions("cell_id")
+    df = enriched_tiles(tiles, join_res)
+    if cluster:
+        n = n_files or spark.sparkContext.defaultParallelism
+        df = df.repartitionByRange(n, "cell_id")
+    df = df.sortWithinPartitions("cell_id")
     if iceberg_available(spark):
         df.writeTo(target).createOrReplace()
         return "iceberg"

@@ -61,3 +61,60 @@ def test_zorder_layout_query_blocks_are_2x2(spark):
         assert r.max_tx - r.min_tx <= 1
         assert r.max_ty - r.min_ty <= 1
         assert r.bbox_area <= 4
+
+
+def test_clustered_write_prunes_bbox_scans(spark, tmp_path):
+    """The deployment claim behind zorder_layout, executed: a z-clustered
+    write gives each parquet file a compact (tile_x, tile_y) footprint, so a
+    bbox query's candidate set (files whose min/max stats intersect the
+    window) is a small fraction of the table; the unclustered layout keeps
+    every file a candidate."""
+    import pyspark.sql.functions as F
+
+    from gridfia_spark.datagen import tiles as tgen
+    from gridfia_spark.queries import _join_res
+    from gridfia_spark.sources import table
+
+    sf_dir = "/root/testdata/sf0.01"
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    res = _join_res(sf_dir)
+
+    def file_footprints(path):
+        df = spark.read.parquet(path).select(
+            F.input_file_name().alias("f"), "tile_x", "tile_y"
+        )
+        return {
+            r.f: (r.min_x, r.max_x, r.min_y, r.max_y)
+            for r in df.groupBy("f")
+            .agg(
+                F.min("tile_x").alias("min_x"), F.max("tile_x").alias("max_x"),
+                F.min("tile_y").alias("min_y"), F.max("tile_y").alias("max_y"),
+            )
+            .collect()
+        }
+
+    def candidates(fps, bbox):
+        x0, x1, y0, y1 = bbox
+        return sum(
+            1
+            for mnx, mxx, mny, mxy in fps.values()
+            if mnx <= x1 and mxx >= x0 and mny <= y1 and mxy >= y0
+        )
+
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "rowmajor")
+    assert table.write_tiles(tiles, zpath, res, cluster=True, n_files=8) == "parquet"
+    # anti-layout: range-cluster by row-major order -> full-width stripes
+    anti = table.enriched_tiles(tiles, res).repartitionByRange(
+        8, "tile_y", "tile_x"
+    )
+    anti.write.mode("overwrite").parquet(rpath)
+
+    zfp, rfp = file_footprints(zpath), file_footprints(rpath)
+    quarter = (0, 1, 0, 1)  # top-left 2x2 tile window of the 4x4 grid
+    z_frac = candidates(zfp, quarter) / len(zfp)
+    r_frac = candidates(rfp, quarter) / len(rfp)
+    assert z_frac <= 0.5, f"z layout should prune: {z_frac=} {zfp=}"
+    assert z_frac <= r_frac
+    # row coverage identical either way
+    n = spark.read.parquet(zpath).count()
+    assert n == spark.read.parquet(rpath).count() == tiles.count()
