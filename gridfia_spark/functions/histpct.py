@@ -79,3 +79,27 @@ def hist_percentiles(
         lo, hi = F.col(f"_lo_{name}"), F.col(f"_hi_{name}")
         out = out.withColumn(name, lo + frac * (hi - lo))
     return out.select(*group_cols, *probs.keys())
+
+
+def approx_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    probs: dict[str, float],
+    v_col: str = "v",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The continuous-data companion to hist_percentiles: mergeable
+    ``percentile_approx`` sketches (Greenwald-Khanna, map-side partials of
+    bounded size ~O(accuracy)), for value domains too wide or too dense for
+    an exact value histogram. Guaranteed rank error <= 1/accuracy, so at the
+    default accuracy a p50 estimate sits within the [0.4999, 0.5001] rank
+    band regardless of population size — the per-group state is a sketch,
+    never the value population (the same no-buffering plan contract as
+    hist_percentiles; see queries_products.approx_percentile_contract for
+    the measured-error gate)."""
+    gcols = [F.col(c) for c in group_cols]
+    aggs = [
+        F.percentile_approx(F.col(v_col).cast("double"), float(p), accuracy).alias(name)
+        for name, p in probs.items()
+    ]
+    return df.groupBy(*gcols).agg(*aggs)

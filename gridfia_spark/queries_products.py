@@ -1251,3 +1251,47 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, frame_idx long, npx long, sum_v long, min_v long, "
         "max_v long, nonzero long",
     )
+
+
+def _o_approx_pct(sf_dir: str) -> str:
+    return """SELECT l_returnflag,
+       TRUE AS p50_ok, TRUE AS p95_ok,
+       COUNT(*)::BIGINT AS n
+FROM lineitem GROUP BY l_returnflag"""
+
+
+@q("approx_percentile_contract", _o_approx_pct)
+def approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-data percentile scale path with a measured-error gate:
+    histpct.approx_percentiles (mergeable Greenwald-Khanna sketches,
+    rank error <= 1/accuracy, per-group state bounded by the sketch — the
+    plan that survives a CONUS-sized zone) vs the exact per-group
+    percentile, on genuinely continuous doubles (l_extendedprice). The
+    oracle pins the contract booleans: each approximation must land within
+    0.1% relative error of the exact quantile. Same honest-gate pattern as
+    ann_recall — the engine emits the measurement, the oracle the required
+    outcome."""
+    from .functions import histpct
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    )
+    approx = histpct.approx_percentiles(
+        li, ["l_returnflag"], {"a50": 0.5, "a95": 0.95}
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(v, 0.5)").alias("e50"),
+        F.expr("percentile(v, 0.95)").alias("e95"),
+        F.count("*").alias("n"),
+    )
+    j = approx.join(exact, "l_returnflag")
+    ok = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.greatest(F.abs(F.col(e)), F.lit(1.0))
+        <= 0.001
+    )
+    return j.select(
+        "l_returnflag",
+        ok("a50", "e50").alias("p50_ok"),
+        ok("a95", "e95").alias("p95_ok"),
+        "n",
+    )

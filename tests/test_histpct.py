@@ -109,3 +109,28 @@ class TestCoveringEmptyGuard:
         polys = spark.createDataFrame([("far", bytearray(wkb))], "poly_id string, geom_wkb binary")
         assert spatial_join.polygon_cells_dist(polys, res=14).count() == 0
         assert spatial_join.polygon_cells_df(spark, polys, res=14).count() == 0
+
+
+def test_approx_percentiles_rank_error_bound(spark):
+    """GK sketch guarantee: with accuracy=10000 the estimate's true rank is
+    within n/accuracy of the target rank, on continuous (non-integer) data."""
+    import pyspark.sql.functions as F
+
+    from gridfia_spark.functions import histpct
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.lit(1.0) + F.col("id").cast("double") / 7.0).alias("v"),
+        (F.col("id") % 2).alias("g"),
+    )
+    out = {
+        r.g: (r.p50, r.p95)
+        for r in histpct.approx_percentiles(
+            df, ["g"], {"p50": 0.5, "p95": 0.95}
+        ).collect()
+    }
+    for g in (0, 1):
+        vals = sorted(1.0 + i / 7.0 for i in range(g, n, 2))
+        for est, p in zip(out[g], (0.5, 0.95)):
+            rank = sum(v <= est for v in vals) / len(vals)
+            assert abs(rank - p) <= 1 / 10_000 + 2 / len(vals)
