@@ -203,7 +203,11 @@ def split_pngseq(data: bytes) -> list[bytes]:
     (n,) = struct.unpack("<I", data[4:8])
     pos, out = 8, []
     for _ in range(n):
+        if pos + 4 > len(data):
+            raise ValueError("truncated pngseq container (frame header)")
         (size,) = struct.unpack("<I", data[pos : pos + 4])
+        if pos + 4 + size > len(data):
+            raise ValueError("truncated pngseq container (frame body)")
         out.append(data[pos + 4 : pos + 4 + size])
         pos += 4 + size
     if pos != len(data):

@@ -60,6 +60,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + size > len(data):
+            raise ValueError(f"truncated {tag!r} chunk")
         payload = data[pos + 8 : pos + 8 + size]
         if tag == b"fmt ":
             if size < 16:

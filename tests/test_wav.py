@@ -124,3 +124,49 @@ def test_sample_frames_pngseq(spark):
     )
     with pytest.raises(Exception, match="frames != metadata"):
         multimodal.sample_frames(bad, every_k=2).collect()
+
+
+def test_truncated_containers_fail_loudly():
+    s = np.arange(16, dtype=np.int16)
+    raw = wav.encode_wav(s, 8000)
+    with pytest.raises(ValueError, match="truncated"):
+        wav.decode_wav(raw[:-3])
+    frames = [np.zeros((2, 2), dtype=np.uint8)]
+    seq = multimodal.encode_pngseq(frames)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.split_pngseq(seq[:-1])
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @given(
+        arrays(np.int16, st.tuples(st.integers(1, 300), st.integers(1, 3))),
+        st.sampled_from([8000, 16_000, 44_100]),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_wav_roundtrip_property(samples, rate):
+        out, r = wav.decode_wav(wav.encode_wav(samples, rate))
+        assert r == rate
+        np.testing.assert_array_equal(out, samples)
+
+    @given(
+        st.lists(
+            arrays(np.uint8, st.tuples(st.integers(1, 12), st.integers(1, 12))),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_pngseq_roundtrip_property(frames):
+        from gridfia_spark import png
+
+        parts = multimodal.split_pngseq(multimodal.encode_pngseq(frames))
+        assert len(parts) == len(frames)
+        for f, p in zip(frames, parts):
+            np.testing.assert_array_equal(png.decode_png(p), f)
+
+except ImportError:  # pragma: no cover — hypothesis is in the sandbox
+    pass
