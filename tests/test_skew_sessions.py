@@ -210,3 +210,39 @@ class TestRangeJoin:
             ).collect()
         }
         assert banded == theta and len(theta) > 0
+
+
+class TestLateData:
+    def test_event_behind_watermark_is_dropped(self, spark, tmp_path):
+        """The late-data contract, executed: once the checkpointed watermark
+        has advanced past a session's window, a late-arriving event for that
+        window is DROPPED — the closed session is never reopened, re-emitted,
+        or double-counted (withWatermark + session_window append semantics)."""
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        stage = str(tmp_path / "events")
+        work = str(tmp_path / "stream")
+        events.write.mode("overwrite").parquet(stage)
+        sessions.stream_user_sessions(spark, stage, work)
+
+        mx = events.agg(F.max("ts")).first()[0]
+        sentinel = spark.createDataFrame(
+            [(999999, mx, 999999, "x", 0.0, "")], sessions.EVENT_SCHEMA
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+        sentinel.write.mode("append").parquet(stage)
+        sessions.stream_user_sessions(spark, stage, work)
+        before = sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in sessions.sessions_result(spark, work).collect()
+        )
+        assert len(before) > 0
+
+        # a duplicate of the EARLIEST event arrives 10 days late — far
+        # behind the advanced watermark
+        late = events.orderBy("ts").limit(1)
+        late.write.mode("append").parquet(stage)
+        sessions.stream_user_sessions(spark, stage, work)
+        after = sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in sessions.sessions_result(spark, work).collect()
+        )
+        assert after == before
