@@ -1270,7 +1270,9 @@ def approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle pins the contract booleans: each approximation must land within
     0.1% relative error of the exact quantile. Same honest-gate pattern as
     ann_recall — the engine emits the measurement, the oracle the required
-    outcome."""
+    outcome. The exact `percentile` aggregate here is the gate-scale
+    VERIFIER only, never the product path: at deployment scale the sketch
+    is the answer and the verifier runs on a sampled-down slice."""
     from .functions import histpct
 
     li = _t(spark, sf_dir, "lineitem").select(

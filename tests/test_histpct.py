@@ -134,3 +134,36 @@ def test_approx_percentiles_rank_error_bound(spark):
         for est, p in zip(out[g], (0.5, 0.95)):
             rank = sum(v <= est for v in vals) / len(vals)
             assert abs(rank - p) <= 1 / 10_000 + 2 / len(vals)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(st.integers(0, 40), min_size=2, max_size=120),
+        st.sampled_from([0.02, 0.25, 0.5, 0.9, 0.98]),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_hist_percentile_equals_numpy_linear(vals, p):
+        """Property: the histogram cumulative walk reproduces numpy's
+        'linear' (= SQL quantile_cont) percentile on arbitrary int
+        populations with ties."""
+        import numpy as np
+        import pandas as pd
+
+        from gridfia_spark.functions import histpct
+        from gridfia_spark.session import get_spark
+
+        spark = get_spark(cores=4, shuffle_partitions=8)
+        hist = (
+            pd.Series(vals).value_counts().rename_axis("v").reset_index(name="cnt")
+        )
+        hist["g"] = 1
+        df = spark.createDataFrame(hist[["g", "v", "cnt"]])
+        got = histpct.hist_percentiles(df, ["g"], {"q": p}).first().q
+        want = float(np.percentile(np.array(vals, dtype=float), 100 * p))
+        assert abs(got - want) < 1e-9
+
+except ImportError:  # pragma: no cover
+    pass
