@@ -1297,3 +1297,98 @@ def approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("a95", "e95").alias("p95_ok"),
         "n",
     )
+
+
+# ===================================================================
+# Perceptual-hash image near-dup (banded Hamming join, operators/phash.py)
+# ===================================================================
+
+
+def _o_phash_pairs(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    bw, bh = max(tw // 8, 1), max(th // 8, 1)
+    codes = ",".join(f"({i},'{c}')" for i, (c, _) in enumerate(SPECIES) if i > 0)
+    return f"""WITH {osql.val_cte(spec)},
+pxb AS (
+  SELECT s, gx // {tw} AS tx, gy // {th} AS ty,
+         ((gy % {th}) // {bh}) * 8 + ((gx % {tw}) // {bw}) AS blk, v
+  FROM val
+  WHERE (gx % {tw}) < {8 * bw} AND (gy % {th}) < {8 * bh}
+),
+blocks AS (
+  SELECT s, tx, ty, blk, SUM(v)::BIGINT AS bsum
+  FROM pxb GROUP BY s, tx, ty, blk
+),
+tot AS (
+  SELECT s, tx, ty, SUM(bsum)::BIGINT AS tsum
+  FROM blocks GROUP BY s, tx, ty
+),
+bandv AS (
+  SELECT b.s, b.tx, b.ty, b.blk // 16 AS bi,
+         SUM(CASE WHEN 64 * b.bsum > t.tsum THEN 1 ELSE 0 END
+             << (15 - (b.blk % 16)))::BIGINT AS bv
+  FROM blocks b JOIN tot t ON b.s = t.s AND b.tx = t.tx AND b.ty = t.ty
+  GROUP BY b.s, b.tx, b.ty, b.blk // 16
+),
+spn(s, code) AS (SELECT * FROM (VALUES {codes}) t(s, code)),
+ph AS (
+  SELECT printf('sp%s_tx%03d_ty%03d', n.code, v.tx::INT, v.ty::INT) AS image_id,
+         SUM(CASE WHEN bi = 0 THEN bv END)::BIGINT AS b0,
+         SUM(CASE WHEN bi = 1 THEN bv END)::BIGINT AS b1,
+         SUM(CASE WHEN bi = 2 THEN bv END)::BIGINT AS b2,
+         SUM(CASE WHEN bi = 3 THEN bv END)::BIGINT AS b3
+  FROM bandv v JOIN spn n ON v.s = n.s
+  GROUP BY n.code, v.tx, v.ty
+),
+allp AS (
+  SELECT image_id, b0, b1, b2, b3 FROM ph
+  UNION ALL
+  SELECT image_id || '_near', xor(b0, 1::BIGINT), b1, b2, b3 FROM ph
+),
+eb AS (
+  SELECT image_id, 0 AS bi, b0 AS bv FROM allp UNION ALL
+  SELECT image_id, 1, b1 FROM allp UNION ALL
+  SELECT image_id, 2, b2 FROM allp UNION ALL
+  SELECT image_id, 3, b3 FROM allp
+),
+cand AS (
+  SELECT DISTINCT l.image_id AS id_a, r.image_id AS id_b
+  FROM eb l JOIN eb r
+    ON l.bi = r.bi AND l.bv = r.bv AND l.image_id < r.image_id
+)
+SELECT c.id_a, c.id_b,
+       (bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)))::BIGINT AS hamming
+FROM cand c
+JOIN allp a ON a.image_id = c.id_a
+JOIN allp b ON b.image_id = c.id_b
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3"""
+
+
+@q("phash_near_dup", _o_phash_pairs)
+def phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via the banded perceptual-hash Hamming
+    join (operators/phash.py): integer-exact portable phash -> 4x16-bit
+    bands -> band equi-join -> id-only distinct -> bit_count(xor) verify.
+    Seeds a '_near' twin per image (band-0 lowest bit flipped — a hash-level
+    perturbation both engines construct identically) so hamming=1 pairs are
+    guaranteed present. For the <=3 threshold the band prune is loss-free
+    (pigeonhole over 4 bands), so the oracle's identical formulation is an
+    exact brute-force-equivalent check, not a recall argument."""
+    from .operators import phash as ph
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    meta = decode.with_tile_meta(tiles).filter(F.col("s") > 0)
+    bands = ph.portable_phash_bands(
+        meta.select("image_id", "bytes", "w", "h", "fmt")
+    )
+    seeded = bands.unionByName(
+        bands.select(
+            F.concat("image_id", F.lit("_near")).alias("image_id"),
+            F.col("b0").bitwiseXOR(F.lit(1)).alias("b0"),
+            "b1", "b2", "b3",
+        )
+    )
+    return ph.near_dup_pairs(seeded, max_hamming=3)
