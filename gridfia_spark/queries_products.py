@@ -1392,3 +1392,114 @@ def phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ph.near_dup_pairs(seeded, max_hamming=3)
+
+
+def _o_audio_fp(sf_dir: str) -> str:
+    return """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+s AS (
+  SELECT d.doc_id, i.i AS i,
+         ((d.doc_id*7919 + i.i*104729 + 13) % 65536) - 32768 AS v,
+         100 + (d.doc_id % 157) AS n
+  FROM d, generate_series(0, 256) i(i)
+  WHERE i.i < 100 + (d.doc_id % 157)
+),
+wind AS (
+  SELECT doc_id, (i*64) // n AS w, SUM(ABS(v))::BIGINT AS e
+  FROM s GROUP BY doc_id, (i*64) // n
+),
+tot AS (SELECT doc_id, SUM(e)::BIGINT AS t FROM wind GROUP BY doc_id),
+bits AS (
+  SELECT w.doc_id, w.w, CASE WHEN 64*w.e > t.t THEN 1 ELSE 0 END AS bit
+  FROM wind w JOIN tot t ON w.doc_id = t.doc_id
+),
+bands AS (
+  SELECT doc_id, w // 16 AS bi,
+         SUM(bit << (15 - (w % 16)))::BIGINT AS bv
+  FROM bits GROUP BY doc_id, w // 16
+),
+ph AS (
+  SELECT doc_id::VARCHAR AS image_id,
+         SUM(CASE WHEN bi = 0 THEN bv END)::BIGINT AS b0,
+         SUM(CASE WHEN bi = 1 THEN bv END)::BIGINT AS b1,
+         SUM(CASE WHEN bi = 2 THEN bv END)::BIGINT AS b2,
+         SUM(CASE WHEN bi = 3 THEN bv END)::BIGINT AS b3
+  FROM bands GROUP BY doc_id
+),
+allp AS (
+  SELECT image_id, b0, b1, b2, b3 FROM ph
+  UNION ALL
+  SELECT image_id || '_near', xor(b0, 1::BIGINT), b1, b2, b3 FROM ph
+),
+eb AS (
+  SELECT image_id, 0 AS bi, b0 AS bv FROM allp UNION ALL
+  SELECT image_id, 1, b1 FROM allp UNION ALL
+  SELECT image_id, 2, b2 FROM allp UNION ALL
+  SELECT image_id, 3, b3 FROM allp
+),
+cand AS (
+  SELECT DISTINCT l.image_id AS id_a, r.image_id AS id_b
+  FROM eb l JOIN eb r
+    ON l.bi = r.bi AND l.bv = r.bv AND l.image_id < r.image_id
+)
+SELECT c.id_a, c.id_b,
+       (bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)))::BIGINT AS hamming
+FROM cand c
+JOIN allp a ON a.image_id = c.id_a
+JOIN allp b ON b.image_id = c.id_b
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3"""
+
+
+@q("audio_fingerprint_dedup", _o_audio_fp)
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs through the SAME banded Hamming join as
+    images (operators/phash.near_dup_pairs is modality-agnostic): each
+    document's PCM stream round-trips through a genuine WAV container, then
+    a 64-bit energy fingerprint (64 windows; bit = 64*window_energy >
+    total_energy, integer-exact) is packed into 4x16-bit bands and joined.
+    Loss-free prune at hamming<=3 (pigeonhole), '_near' twins seeded at the
+    hash level — the audio member of the image/audio near-dup family."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from . import wav
+    from .operators import phash as ph
+
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << (15 - np.arange(16, dtype=np.int64))
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                n = 100 + (d % 157)
+                i = np.arange(n, dtype=np.int64)
+                v = (((d * 7919 + i * 104729 + 13) % 65536) - 32768).astype(
+                    np.int16
+                )
+                # through the real container, as production audio would be
+                decoded, _ = wav.decode_wav(wav.encode_wav(v, 16_000))
+                a = np.abs(decoded[:, 0].astype(np.int64))
+                e = np.bincount((i * 64) // n, weights=a, minlength=64).astype(
+                    np.int64
+                )
+                bits = (64 * e > e.sum()).astype(np.int64)
+                bands = (bits.reshape(4, 16) * weights).sum(axis=1)
+                out.append((str(d), *map(int, bands)))
+            yield pd.DataFrame(out, columns=["image_id", "b0", "b1", "b2", "b3"])
+
+    bands = ids.mapInPandas(
+        fingerprint, "image_id string, b0 long, b1 long, b2 long, b3 long"
+    )
+    seeded = bands.unionByName(
+        bands.select(
+            F.concat("image_id", F.lit("_near")).alias("image_id"),
+            F.col("b0").bitwiseXOR(F.lit(1)).alias("b0"),
+            "b1", "b2", "b3",
+        )
+    )
+    return ph.near_dup_pairs(seeded, max_hamming=3)
