@@ -1503,3 +1503,87 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ph.near_dup_pairs(seeded, max_hamming=3)
+
+
+# ===================================================================
+# Training-corpus batching: distributed prefix sum + sequence packing,
+# deterministic train/val/test split
+# ===================================================================
+
+PACK_BUDGET = 4096
+
+
+def _o_seq_pack(sf_dir: str) -> str:
+    return f"""WITH c AS (
+  SELECT doc_id, n_chars,
+         (SUM(n_chars) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_chars, ((cum - n_chars) // {PACK_BUDGET})::BIGINT AS bin FROM c
+)
+SELECT bin,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_chars)::BIGINT AS sum_tokens,
+       MIN(doc_id)::BIGINT AS first_doc,
+       MAX(doc_id)::BIGINT AS last_doc
+FROM b GROUP BY bin"""
+
+
+@q("sequence_packing", _o_seq_pack)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing for LLM training batches: contiguous
+    documents (doc_id order) are packed into bins by their global
+    cumulative token count's start offset — bin = (cum - tokens) // budget,
+    the deterministic contiguous-packing contract. The global cumsum uses
+    functions/prefix.prefix_sum (range-partition -> per-partition totals ->
+    broadcast offsets -> bounded within-partition scan), NEVER a
+    single-task global window — the plan that still packs a 100 TB corpus.
+    The oracle states the same packing with a plain SQL window."""
+    from .functions import prefix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cum = prefix.prefix_sum(docs, "doc_id", "n_chars")
+    b = cum.withColumn(
+        "bin",
+        F.floor((F.col("cum") - F.col("n_chars")) / PACK_BUDGET).cast("long"),
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def _o_split(sf_dir: str) -> str:
+    return """SELECT CASE WHEN (doc_id * 2654435761) % 2147483648 % 100 < 80 THEN 'train'
+            WHEN (doc_id * 2654435761) % 2147483648 % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY 1, 2"""
+
+
+@q("train_val_split", _o_split)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test corpus split by multiplicative
+    integer hash of doc_id — reproducible across runs, engines and cluster
+    sizes (no rand(), no sampleBy seeds), reported per (split, lang) so
+    stratification skew is visible. Pure built-in int64 expressions,
+    map-side aggregated."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
