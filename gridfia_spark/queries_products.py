@@ -1587,3 +1587,82 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+def _o_thumb(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    bw, bh = max(tw // 8, 1), max(th // 8, 1)
+    codes = ",".join(f"({i},'{c}')" for i, (c, _) in enumerate(SPECIES) if i > 0)
+    return f"""WITH {osql.val_cte(spec)},
+pxb AS (
+  SELECT s, gx // {tw} AS tx, gy // {th} AS ty,
+         ((gy % {th}) // {bh}) * 8 + ((gx % {tw}) // {bw}) AS blk, v
+  FROM val
+  WHERE (gx % {tw}) < {8 * bw} AND (gy % {th}) < {8 * bh}
+),
+blocks AS (
+  SELECT s, tx, ty, blk, SUM(v)::BIGINT AS bsum
+  FROM pxb GROUP BY s, tx, ty, blk
+),
+spn(s, code) AS (SELECT * FROM (VALUES {codes}) t(s, code))
+SELECT printf('sp%s_tx%03d_ty%03d', n.code, b.tx::INT, b.ty::INT) AS image_id,
+       8 AS w, 8 AS h,
+       SUM(b.bsum)::BIGINT AS blk_sum,
+       SUM(CASE WHEN b.bsum > 0 THEN 1 ELSE 0 END)::BIGINT AS nonzero_blks
+FROM blocks b JOIN spn n ON b.s = n.s
+GROUP BY n.code, b.tx, b.ty"""
+
+
+@q("thumbnail_stats", _o_thumb)
+def thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thumbnailing stage (multimodal.resize, block-mean 8x8) gated
+    integer-exactly: each thumbnail pixel is a block mean whose scaled-back
+    value round(mean * fy * fx) recovers the exact int64 block sum (block
+    sums are exact in float32 — integer partials < 2^24 — so the rounding
+    is loss-free). Aggregating those per image gives an exact gate THROUGH
+    the real resize path, no float comparisons in the oracle. Map-only
+    chain: decode -> resize -> stats, one final tiny groupBy."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spec = spec_for_sf_dir(sf_dir)
+    fy, fx = max(spec.tile_h // 8, 1), max(spec.tile_w // 8, 1)
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    meta = decode.with_tile_meta(tiles).filter(F.col("s") > 0)
+    media = meta.select(
+        F.col("image_id").alias("media_id"), "bytes", "w", "h", "fmt"
+    )
+    thumbs = multimodal_resize(media, 8, 8)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs as cdx
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = cdx.decode(bytes(r.bytes), int(r.w), int(r.h), r.fmt)
+                scaled = np.rint(arr.astype(np.float64) * (fy * fx)).astype(
+                    np.int64
+                )
+                out.append(
+                    (r.media_id, int(r.w), int(r.h), int(scaled.sum()),
+                     int((scaled > 0).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "w", "h", "blk_sum", "nonzero_blks"],
+            )
+
+    return thumbs.mapInPandas(
+        stats,
+        "image_id string, w int, h int, blk_sum long, nonzero_blks long",
+    )
+
+
+def multimodal_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    from .operators import multimodal
+
+    return multimodal.resize(media, out_w, out_h)
