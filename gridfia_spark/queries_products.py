@@ -1666,3 +1666,60 @@ def multimodal_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     from .operators import multimodal
 
     return multimodal.resize(media, out_w, out_h)
+
+
+def _o_contamination(sf_dir: str) -> str:
+    return """WITH d AS (
+  SELECT doc_id, text,
+         (doc_id * 2654435761) % 2147483648 % 100 AS b
+  FROM documents
+),
+trs AS (
+  SELECT DISTINCT doc_id, substr(text, i.i, 12) AS shingle
+  FROM d, generate_series(1, 600) i(i)
+  WHERE b < 80 AND i.i <= GREATEST(length(text) - 11, 1)
+),
+tes AS (
+  SELECT DISTINCT doc_id, substr(text, i.i, 12) AS shingle
+  FROM d, generate_series(1, 600) i(i)
+  WHERE b >= 90 AND i.i <= GREATEST(length(text) - 11, 1)
+),
+ov AS (
+  SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc, te.shingle
+  FROM tes te JOIN trs tr ON te.shingle = tr.shingle
+)
+SELECT test_doc AS doc_id,
+       COUNT(DISTINCT shingle)::BIGINT AS n_shared_shingles,
+       COUNT(DISTINCT train_doc)::BIGINT AS n_train_docs,
+       COUNT(DISTINCT shingle) >= 2 AS contaminated
+FROM ov GROUP BY test_doc"""
+
+
+@q("contamination_check", _o_contamination)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: which held-out (test-split) documents
+    share verbatim 12-grams with the train split — the standard n-gram
+    overlap decontamination pass run before LLM evaluation. Reuses the
+    shingle machinery (operators/text.shingles) and the deterministic
+    train_val_split hash; the join is a shingle equi-join with the TEST
+    side broadcast (a benchmark set is small by definition — at 100 TB the
+    train side streams past an in-memory benchmark shingle table, no
+    shuffle of the corpus)."""
+    from .operators import text as T
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648) % 100
+    tr = docs.filter(bucket < 80)
+    te = docs.filter(bucket >= 90)
+    trs = T.shingles(tr, 12).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    ).distinct()
+    tes = T.shingles(te, 12).select(
+        F.col("doc_id").alias("test_doc"), "shingle"
+    ).distinct()
+    ov = trs.join(F.broadcast(tes), "shingle")
+    return ov.groupBy(F.col("test_doc").alias("doc_id")).agg(
+        F.countDistinct("shingle").alias("n_shared_shingles"),
+        F.countDistinct("train_doc").alias("n_train_docs"),
+        (F.countDistinct("shingle") >= 2).alias("contaminated"),
+    )
