@@ -21,7 +21,7 @@ import sys, json; sys.path.insert(0, "/root/repo")
 from gridfia_spark.session import get_spark
 from gridfia_spark import queries as Q
 from gridfia_spark.queries_products import (
-    zonal_percentiles, wav_audio_stats, zorder_layout)
+    zonal_percentiles, wav_audio_stats, zorder_layout, sequence_packing)
 spark = get_spark(cores={cores}, shuffle_partitions={sh})
 pdf = Q.zonal_total_biomass(spark, "/root/testdata/sf0.001").toPandas()
 pdf = pdf.sort_values("poly_id", ignore_index=True)
@@ -31,10 +31,15 @@ wav = wav_audio_stats(spark, "/root/testdata/sf0.001").toPandas()
 wav = wav.sort_values("doc_id", ignore_index=True)
 zo = zorder_layout(spark, "/root/testdata/sf0.001").toPandas()
 zo = zo.sort_values("bucket", ignore_index=True)
+# prefix-sum range-partition boundaries change with parallelism; the
+# packing result must not
+sp = sequence_packing(spark, "/root/testdata/sf0.001").toPandas()
+sp = sp.sort_values("bin", ignore_index=True)
 print("RESULT" + json.dumps({{"zonal": pdf.to_dict("records"),
                               "pct": pct.to_dict("records"),
                               "wav": wav.to_dict("records"),
-                              "zorder": zo.to_dict("records")}}))
+                              "zorder": zo.to_dict("records"),
+                              "pack": sp.to_dict("records")}}))
 spark.stop()
 """
 
