@@ -6,13 +6,15 @@ class of scale-killer as the exact-percentile buffering replaced by
 functions/histpct.py. The standard distributed recast is the two-phase
 scan:
 
-1. range-partition by the order key, so partition p holds a contiguous key
-   range and every key in partition p sorts before every key in p+1;
-2. one tiny job computes per-partition totals (one row per partition),
-   whose running sum gives each partition's OFFSET — driver-side math over
+1. bucket rows by approx-quantile boundaries of the order key — a pure
+   deterministic function of the key baked into the plan, so bucket b
+   holds a contiguous key range and every key in bucket b sorts before
+   every key in b+1;
+2. one tiny job computes per-bucket totals (one row per bucket), whose
+   running sum gives each bucket's OFFSET — driver-side math over
    ~thousands of rows, broadcast back;
-3. a window *within* each partition (bounded memory, parallel across
-   partitions) plus the broadcast offset yields the exact global scan.
+3. a window *within* each bucket (bounded memory, parallel across
+   buckets) plus the broadcast offset yields the exact global scan.
 
 Used by the sequence-packing query (token-budget batching of an LLM
 training corpus). Reference analogue: running accumulation in the
@@ -36,32 +38,38 @@ def prefix_sum(
     """Exact global cumulative sum of ``value_col`` in ``order_col`` order
     (inclusive), without ever sorting the whole table in one task.
 
-    ``order_col`` must be globally unique (it defines the scan order)."""
+    ``order_col`` must be globally unique and numeric (it defines the scan
+    order). The range buckets are a pure deterministic FUNCTION of the key
+    (approx-quantile boundaries baked into the plan), not
+    ``spark_partition_id`` — so the offsets job and the scan job agree on
+    bucket membership even across independent recomputes, with no persist
+    required."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, order_col).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    ranged = ranged.persist()
-    # phase 2: per-partition totals -> running offsets (tiny: one row/task)
+    probs = [i / n for i in range(1, n)]
+    bounds = []
+    if probs:
+        row = df.select(
+            F.percentile_approx(order_col, probs, 10_000).alias("b")
+        ).first()
+        bounds = sorted(set(row.b or []))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(order_col) > F.lit(b), 1).otherwise(0)
+    withb = df.withColumn("_b", bucket)
+    # phase 2: per-bucket totals -> running offsets (tiny: one row/bucket)
     parts = (
-        ranged.groupBy("_pid")
-        .agg(F.sum(value_col).alias("_psum"))
-        .orderBy("_pid")
-        .collect()
+        withb.groupBy("_b").agg(F.sum(value_col).alias("_psum")).orderBy("_b").collect()
     )
     offsets, run = {}, 0
     for r in parts:
-        offsets[r._pid] = run
+        offsets[r._b] = run
         run += r._psum or 0
-    off = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    # phase 3: bounded within-partition scan + broadcast offset
-    w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    # phase 3: bounded within-bucket scan + broadcast offset
+    w = Window.partitionBy("_b").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    out = ranged.withColumn(
-        out_col, F.sum(value_col).over(w) + off[F.col("_pid")]
-    ).drop("_pid")
-    return out
+    return withb.withColumn(
+        out_col, F.sum(value_col).over(w) + off[F.col("_b")]
+    ).drop("_b")

@@ -31,4 +31,4 @@ def test_prefix_sum_plan_has_no_single_partition_window(spark):
     out = prefix.prefix_sum(df, "k", "v", num_partitions=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
-    assert "rangepartitioning" in plan.lower()
+    assert "hashpartitioning(_b" in plan
