@@ -174,6 +174,23 @@ def with_ivf_cluster(
     return emb.withColumn(col, F.explode(F.transform(top, lambda s: s["cid"])))
 
 
+def build_ivf_index(
+    targets: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    seed: int = 7,
+    dim: int = 64,
+) -> None:
+    """Materialize the inverted file (``t_id -> cl``) to Parquet once, so
+    every later query skips the corpus-wide assignment pass — the
+    build-once/query-many split of production ANN serving. Pass the read
+    table back to ``ivf_cosine_topk(assignments=...)``."""
+    with_ivf_cluster(targets, n_clusters, seed, dim, nprobe=1).select(
+        F.col("vec_id").alias("t_id"),
+        F.col("ivf_cluster").alias("cl"),
+    ).write.mode("overwrite").parquet(path)
+
+
 def ivf_cosine_topk(
     queries: DataFrame,
     targets: DataFrame,
@@ -182,12 +199,18 @@ def ivf_cosine_topk(
     nprobe: int = 4,
     seed: int = 7,
     dim: int = 64,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: targets bucketed by nearest centroid (the inverted file);
     queries probe their ``nprobe`` nearest centroids; candidates re-ranked by
     exact cosine. The bucket equi-join is the scale path — each query scans
-    ~nprobe/n_clusters of the corpus instead of all of it."""
-    t = with_ivf_cluster(targets, n_clusters, seed, dim, nprobe=1).select(
+    ~nprobe/n_clusters of the corpus instead of all of it.
+
+    ``assignments`` (from build_ivf_index) replaces the in-flight target
+    assignment pass with the persisted inverted file."""
+    t = assignments if assignments is not None else with_ivf_cluster(
+        targets, n_clusters, seed, dim, nprobe=1
+    ).select(
         F.col("vec_id").alias("t_id"),
         F.col("ivf_cluster").alias("cl"),
     )

@@ -271,3 +271,23 @@ class TestPhashNearDup:
                 ("h000", "p3", 3)} <= got
         assert not any(a == "p4" or b == "p4" for a, b, _ in got
                        if "h000" in (a, b))
+
+
+class TestIvfIndexPersistence:
+    def test_persisted_index_equals_inline(self, spark, tmp_path):
+        """build_ivf_index -> query with assignments must reproduce the
+        inline ivf_cosine_topk exactly (the build-once/query-many contract)."""
+        from gridfia_spark.operators import similarity
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        targets = emb.limit(300)
+        queries = emb.limit(20)
+        idx = str(tmp_path / "ivf")
+        similarity.build_ivf_index(targets, idx)
+        inline = similarity.ivf_cosine_topk(queries, targets).collect()
+        stored = similarity.ivf_cosine_topk(
+            queries, targets, assignments=spark.read.parquet(idx)
+        ).collect()
+        assert sorted(map(tuple, inline), key=lambda t: (t[0], t[1])) == \
+               sorted(map(tuple, stored), key=lambda t: (t[0], t[1]))
+        assert len(inline) > 0
