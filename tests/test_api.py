@@ -121,3 +121,33 @@ class TestSpatialFacade:
             for r in table.filter(F.col("image_id").startswith("sp0000")).collect()
         }
         assert got == want
+
+
+class TestDataPipelineFacade:
+    def test_facade_delegates(self, spark, tmp_path):
+        """Every facade method runs and returns the operator's result shape
+        (delegation only — operator semantics are tested in their own
+        suites)."""
+        from pyspark.sql import functions as F
+
+        from gridfia_spark.pipeline import DataPipeline
+
+        p = DataPipeline(spark)
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+        assert p.exact_dedup_groups(docs).columns == [
+            "text_hash", "n_docs", "canonical_id"
+        ]
+        assert "split" in p.split(docs).columns
+        packed = p.pack(docs, budget=2048)
+        assert {"bin", "cum"} <= set(packed.columns)
+        assert packed.count() == docs.count()
+        cont = p.contamination(docs.limit(100))
+        assert set(cont.columns) == {"doc_id", "n_shared_shingles", "n_train_docs"}
+        q = emb.limit(5)
+        topk = p.cosine_topk(q, emb.limit(100), k=3)
+        assert topk.filter(F.col("rank") > 3).count() == 0
+        idx = str(tmp_path / "ivf")
+        p.build_ann_index(emb.limit(100), idx)
+        assert p.ann_topk_indexed(q, emb.limit(100), idx, k=2).count() > 0
