@@ -261,7 +261,11 @@ def near_dup_components(pairs: DataFrame, docs: DataFrame, max_iter: int = 50) -
     O(graph diameter) rounds (near-dup clusters are tiny, so a handful).
     Each round is one shuffle of (node, label) pairs; the edge list is
     cached. The driver-side loop checks a scalar convergence count only —
-    no data ever collects."""
+    no data ever collects. Each round's labels are ``localCheckpoint``-ed,
+    which truncates the logical plan: without it the lineage nests one
+    level per round and round-50 analysis/recompute walks the entire
+    history — the iterative-algorithm driver blow-up at scale (same fix
+    GraphX/GraphFrames apply)."""
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -281,7 +285,7 @@ def near_dup_components(pairs: DataFrame, docs: DataFrame, max_iter: int = 50) -
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .cache()
+            .localCheckpoint()  # materialize AND truncate lineage
         )
         changed = (
             new_labels.alias("n")
