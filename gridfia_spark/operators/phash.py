@@ -70,7 +70,11 @@ def portable_phash_bands(meta: DataFrame) -> DataFrame:
     )
 
 
-def near_dup_pairs(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
+def near_dup_pairs(
+    bands: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Banded Hamming self-join: (image_id, b0..b3) -> (id_a, id_b, hamming)
     with hamming <= max_hamming and id_a < id_b.
 
@@ -78,13 +82,27 @@ def near_dup_pairs(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
     the band, distinct the candidate ID pairs, re-join the band values,
     filter on JVM-side bit_count(xor). For max_hamming <= 3 the result is
     exactly the brute-force pairs (see module docstring); above 3 it is
-    standard LSH recall."""
+    standard LSH recall.
+
+    ``max_bucket`` is the hot-bucket guard for corpus scale: a degenerate
+    band value shared by millions of items (blank images, constant audio)
+    makes that bucket's self-join quadratic. Setting a cap drops buckets
+    larger than it from CANDIDATE GENERATION only — members can still pair
+    through their other 3 bands, so only pairs whose every <=max_hamming
+    match runs through capped buckets are lost (the standard documented
+    LSH-dedup tradeoff). None (default) keeps the exact contract."""
     eb = None
     for i in range(N_BANDS):
         part = bands.select(
             "image_id", F.lit(i).alias("bi"), F.col(f"b{i}").alias("bv")
         )
         eb = part if eb is None else eb.unionByName(part)
+    if max_bucket is not None:
+        sizes = eb.groupBy("bi", "bv").agg(F.count("*").alias("_n"))
+        eb = (
+            eb.join(sizes.filter(F.col("_n") <= max_bucket), ["bi", "bv"])
+            .drop("_n")
+        )
     cand = (
         eb.alias("l")
         .join(

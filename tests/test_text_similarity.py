@@ -291,3 +291,36 @@ class TestIvfIndexPersistence:
         assert sorted(map(tuple, inline), key=lambda t: (t[0], t[1])) == \
                sorted(map(tuple, stored), key=lambda t: (t[0], t[1]))
         assert len(inline) > 0
+
+
+    def test_hot_bucket_guard(self, spark):
+        """max_bucket drops degenerate-band buckets from candidate
+        generation; items still pair through their other bands."""
+        import numpy as np
+
+        from gridfia_spark.operators import phash as ph
+
+        rng = np.random.default_rng(5)
+        rows = []
+        # 30 items share band 0 == 0 (degenerate) but have random other bands
+        for i in range(30):
+            rows.append((f"d{i:02d}", 0, *map(int, rng.integers(0, 1 << 16, 3))))
+        # one true near pair whose bands 1-3 match, band 0 degenerate too
+        rows.append(("x1", 0, 7, 8, 9))
+        rows.append(("x2", 0, 7, 8, 9))
+        bands = spark.createDataFrame(
+            rows, "image_id string, b0 long, b1 long, b2 long, b3 long"
+        )
+        capped = {
+            (r.id_a, r.id_b)
+            for r in ph.near_dup_pairs(bands, 3, max_bucket=5).collect()
+        }
+        # the x pair survives via bands 1..3 even though band 0's bucket
+        # (32 members) was dropped
+        assert ("x1", "x2") in capped
+        # uncapped equals capped here because every qualifying pair also
+        # shares a small bucket
+        full = {
+            (r.id_a, r.id_b) for r in ph.near_dup_pairs(bands, 3).collect()
+        }
+        assert capped == full
