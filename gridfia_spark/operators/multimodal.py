@@ -150,9 +150,20 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
-def resize(media: DataFrame, out_w: int, out_h: int, fmt: str = "raw32") -> DataFrame:
-    """Block-mean resize (integer factors) of each frame, re-encoded — the
-    thumbnailing stage of an image pipeline."""
+def resize(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    fmt: str = "raw32",
+    method: str = "mean",
+) -> DataFrame:
+    """Resize each frame (integer factors), re-encoded — the thumbnailing
+    stage of an image pipeline. ``method='mean'`` is block-mean (antialiased
+    downsample); ``method='stride'`` is the reference's stride-slicing
+    downsample (examples/utils.py:243) — every (fy, fx)-th pixel, exact
+    values preserved."""
+    if method not in ("mean", "stride"):
+        raise ValueError(f"unknown resize method {method!r}")
     decs = dict(_MEDIA_DECODERS)  # snapshot: registrations ride the closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -162,7 +173,10 @@ def resize(media: DataFrame, out_w: int, out_h: int, fmt: str = "raw32") -> Data
                 arr = _decode_media(r.bytes, r.fmt, int(r.w), int(r.h), decs)
                 fy, fx = max(arr.shape[0] // out_h, 1), max(arr.shape[1] // out_w, 1)
                 clipped = arr[: out_h * fy, : out_w * fx]
-                small = clipped.reshape(out_h, fy, out_w, fx).mean(axis=(1, 3))
+                if method == "stride":
+                    small = clipped[::fy, ::fx][:out_h, :out_w]
+                else:
+                    small = clipped.reshape(out_h, fy, out_w, fx).mean(axis=(1, 3))
                 out.append(
                     (r.media_id, codecs.encode(small.astype(np.float32), fmt), out_w, out_h, fmt)
                 )

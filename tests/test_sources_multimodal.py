@@ -181,3 +181,31 @@ class TestMultimodal:
         np.testing.assert_array_equal(
             codecs.decode(bytes(f2.bytes), 8, 8, "raw32"), np.full((8, 8), 2.0)
         )
+
+
+def test_resize_stride_method(spark):
+    """Stride downsample picks exact source pixels (the reference's
+    examples/utils.py:243 slicing), unlike the antialiased block mean."""
+    import numpy as np
+
+    from gridfia_spark import codecs
+    from gridfia_spark.operators import multimodal
+
+    h, w = 8, 8
+    arr = np.arange(h * w, dtype=np.float32).reshape(h, w)
+    media = spark.createDataFrame(
+        [("m", bytearray(codecs.encode(arr, "raw32")), "image", "raw32",
+          w, h, 1, 0, "")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.resize(media, 4, 4, method="stride").first()
+    got = codecs.decode(bytes(r.bytes), 4, 4, "raw32")
+    np.testing.assert_array_equal(got, arr[::2, ::2])
+    r2 = multimodal.resize(media, 4, 4).first()
+    got2 = codecs.decode(bytes(r2.bytes), 4, 4, "raw32")
+    np.testing.assert_allclose(
+        got2, arr.reshape(4, 2, 4, 2).mean(axis=(1, 3))
+    )
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown resize method"):
+        multimodal.resize(media, 4, 4, method="nearest")
