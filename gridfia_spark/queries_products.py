@@ -1723,3 +1723,43 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("train_doc").alias("n_train_docs"),
         (F.countDistinct("shingle") >= 2).alias("contaminated"),
     )
+
+
+def _o_corpus_validate(sf_dir: str) -> str:
+    return """SELECT COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_text,
+       SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty,
+       (COUNT(*) - COUNT(DISTINCT doc_id))::BIGINT AS n_dup_ids,
+       MIN(n_chars)::BIGINT AS min_chars,
+       MAX(n_chars)::BIGINT AS max_chars,
+       SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)::BIGINT
+         AS n_chars_mismatch,
+       SUM(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END)::BIGINT
+         AS n_missing_lang
+FROM documents"""
+
+
+@q("corpus_validate", _o_corpus_validate)
+def corpus_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data-quality gate — the validation pass a pipeline runs
+    before any curation step (the text twin of S6's tile-table validation):
+    null/empty text, duplicate ids, metadata consistency (stored n_chars vs
+    actual length), missing language tags. One map-side aggregate, one
+    row out."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_null_text"),
+        F.sum(F.when(F.length("text") == 0, 1).otherwise(0)).alias("n_empty"),
+        (F.count("*") - F.countDistinct("doc_id")).alias("n_dup_ids"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).alias("n_chars_mismatch"),
+        F.sum(
+            F.when(
+                F.col("lang").isNull() | (F.col("lang") == ""), 1
+            ).otherwise(0)
+        ).alias("n_missing_lang"),
+    )
