@@ -161,14 +161,17 @@ def host_calibration(n_tasks: int = 64, levels=(2, 8)) -> dict:
     return out
 
 
-def run_scaling() -> dict:
+def run_scaling(record: bool = True) -> dict:
     """Same job, identical input, at local[2] / local[8] / local[32]
     (the N vs 4N pair is 2->8; see BENCH/BASELINE.md for the calibration).
 
     Uses the 'bench' tile scale (124,416 images ≈ 2.04 B px) so the job is
     compute-bound, not overhead-bound — the regime a 1000-executor cluster
-    actually runs in. Writes the result to BENCH/scaling_latest.json so
-    run_bench can report the recorded evidence without hardcoding."""
+    actually runs in. With ``record=True`` writes the result to
+    BENCH/scaling_latest.json so run_bench can report the recorded
+    evidence; the calibration-GATED driver (scripts/scaling_gated.py)
+    passes record=False and persists only ACCEPTED windows, so a rejected
+    run can never clobber the standing record."""
     from gridfia_spark.datagen import tiles as tgen
     from gridfia_spark.session import get_spark
 
@@ -216,10 +219,12 @@ def run_scaling() -> dict:
         "host_efficiency_2_to_8": out["host_calibration"]["host_efficiency"],
         "see": "BENCH/BASELINE.md",
     }
-    rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH", "scaling_latest.json")
-    with open(rec_path, "w") as fh:
-        json.dump(rec, fh, indent=1)
+    out["record"] = rec
+    if record:
+        rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling_latest.json")
+        with open(rec_path, "w") as fh:
+            json.dump(rec, fh, indent=1)
     return out
 
 

@@ -36,13 +36,18 @@ for attempt in range(1, MAX_ATTEMPTS + 1):
         time.sleep(300)
         continue
     log("host clean; running full scaling protocol")
-    out = bench.run_scaling()
+    out = bench.run_scaling(record=False)
     cal = out["host_calibration"]["host_efficiency"]
     e28 = out["scaling_efficiency_2_to_8"]
     log(f"run done: engine(2->8)={e28} concurrent host calibration={cal}")
     print("SCALING_RESULT " + json.dumps(out))
     if cal >= RUN_GATE:
         log("window held — record accepted")
+        import os
+        rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "BENCH", "scaling_latest.json")
+        with open(rec_path, "w") as fh:
+            json.dump(out["record"], fh, indent=1)
         sys.exit(0)
     log("window contaminated mid-run; retrying")
 log("no clean window found in budget")
