@@ -96,6 +96,29 @@ def minhash_signatures(docs: DataFrame, k: int = 5, n_hashes: int = 32) -> DataF
     )
 
 
+def lsh_band_keys(
+    docs: DataFrame, k: int = 5, n_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(doc_id, band, key) LSH band rows — the joinable/persistable form of
+    a document's MinHash identity. Shared by the batch pair join below and
+    the incremental index in streaming/dedup.py."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, k, n_hashes)
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col("signature")[i] for i in range(b * rows, (b + 1) * rows)]
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    return banded.selectExpr(
+        "doc_id",
+        f"stack({bands}, "
+        + ", ".join(f"{b}, b{b}" for b in range(bands))
+        + ") as (band, key)",
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = 5,
@@ -110,21 +133,7 @@ def minhash_lsh_pairs(
     Plan: signature -> band keys -> self equi-join per band (candidates) ->
     exact Jaccard via shingle-set intersection join (verification, so output
     is exact — LSH only prunes)."""
-    rows = n_hashes // bands
-    sig = minhash_signatures(docs, k, n_hashes)
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col("signature")[i] for i in range(b * rows, (b + 1) * rows)]
-        ).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    bands_long = banded.selectExpr(
-        "doc_id",
-        f"stack({bands}, "
-        + ", ".join(f"{b}, b{b}" for b in range(bands))
-        + ") as (band, key)",
-    )
+    bands_long = lsh_band_keys(docs, k, n_hashes, bands)
     cand = (
         bands_long.alias("a")
         .join(
@@ -140,6 +149,16 @@ def minhash_lsh_pairs(
     )
     # exact verification: Jaccard over distinct shingle sets (LSH only
     # prunes candidates; the output contract is exact)
+    return exact_jaccard_for_pairs(cand, docs, k, threshold)
+
+
+def exact_jaccard_for_pairs(
+    cand: DataFrame, docs: DataFrame, k: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """Exact shingle-set Jaccard for an explicit (doc_a, doc_b) candidate
+    list — the verification stage of every LSH dedup path (batch and
+    incremental). ``docs`` must contain both sides' texts; only candidate
+    documents' shingles flow into the intersection join."""
     sh = shingles(docs, k).select("doc_id", "shingle").distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -150,14 +169,13 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    out = (
+    return (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
         .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 5, threshold: float = 0.5) -> DataFrame:
