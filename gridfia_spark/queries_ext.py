@@ -1064,9 +1064,9 @@ def _o_ann_recall(sf_dir: str) -> str:
     # brute-force top-k, over all 20 probe queries); the engine emits the
     # MEASUREMENT — a recall regression in either ANN index flips the
     # boolean and fails the gate
-    return """SELECT 'ann_lsh' AS method, TRUE AS recall_ge_090, 20::BIGINT AS n_queries
+    return """SELECT 'ann_lsh' AS method, 1::BIGINT AS recall_ge_090, 20::BIGINT AS n_queries
 UNION ALL
-SELECT 'ivf' AS method, TRUE AS recall_ge_090, 20::BIGINT AS n_queries
+SELECT 'ivf' AS method, 1::BIGINT AS recall_ge_090, 20::BIGINT AS n_queries
 ORDER BY method"""
 
 
@@ -1102,10 +1102,10 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", similarity.ivf_cosine_topk(qdf, emb, k=1, n_clusters=16, nprobe=4)),
     ):
         hits = exact.join(topk.select("q_id", "t_id"), ["q_id", "t_id"]).count()
-        rows.append((method, hits / n_q >= 0.9, n_q))
+        rows.append((method, int(hits / n_q >= 0.9), n_q))
     exact.unpersist()
     return spark.createDataFrame(
-        rows, "method string, recall_ge_090 boolean, n_queries long"
+        rows, "method string, recall_ge_090 long, n_queries long"
     )
 
 

@@ -1255,7 +1255,7 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _o_approx_pct(sf_dir: str) -> str:
     return """SELECT l_returnflag,
-       TRUE AS p50_ok, TRUE AS p95_ok,
+       1::BIGINT AS p50_ok, 1::BIGINT AS p95_ok,
        COUNT(*)::BIGINT AS n
 FROM lineitem GROUP BY l_returnflag"""
 
@@ -1293,8 +1293,8 @@ def approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.select(
         "l_returnflag",
-        ok("a50", "e50").alias("p50_ok"),
-        ok("a95", "e95").alias("p95_ok"),
+        ok("a50", "e50").cast("long").alias("p50_ok"),
+        ok("a95", "e95").cast("long").alias("p95_ok"),
         "n",
     )
 
@@ -1691,7 +1691,7 @@ ov AS (
 SELECT test_doc AS doc_id,
        COUNT(DISTINCT shingle)::BIGINT AS n_shared_shingles,
        COUNT(DISTINCT train_doc)::BIGINT AS n_train_docs,
-       COUNT(DISTINCT shingle) >= 2 AS contaminated
+       (CASE WHEN COUNT(DISTINCT shingle) >= 2 THEN 1 ELSE 0 END)::BIGINT AS contaminated
 FROM ov GROUP BY test_doc"""
 
 
@@ -1721,7 +1721,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ov.groupBy(F.col("test_doc").alias("doc_id")).agg(
         F.countDistinct("shingle").alias("n_shared_shingles"),
         F.countDistinct("train_doc").alias("n_train_docs"),
-        (F.countDistinct("shingle") >= 2).alias("contaminated"),
+        (F.countDistinct("shingle") >= 2).cast("long").alias("contaminated"),
     )
 
 
