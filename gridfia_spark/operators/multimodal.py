@@ -3,9 +3,11 @@ metadata, processed by Arrow-batched UDFs.
 
 The Spark-side machinery (schemas, partitioning, UDF signatures, batch
 shapes) is real and tested. PNG is a REAL codec (pure numpy+zlib,
-gridfia_spark/png.py — 8-bit gray/RGB/RGBA, all five scanline filters) and
-so is WAV (pure numpy+struct RIFF/PCM16, gridfia_spark/wav.py);
-JPEG/MP3/H.264 remain STUBBED behind ``NotImplementedError`` because the
+gridfia_spark/png.py — 8-bit gray/RGB/RGBA, all five scanline filters), so
+is WAV (pure numpy+struct RIFF/PCM16, gridfia_spark/wav.py), and so is
+baseline JPEG (pure numpy DCT+Huffman, gridfia_spark/jpeg.py — the lossy
+format behind the PSNR>=40dB row contract);
+MP3/H.264 remain STUBBED behind ``NotImplementedError`` because the
 sandbox ships no media libraries — drop PIL/ffmpeg into ``_MEDIA_DECODERS``
 and everything else works unchanged. The engine's own raster codecs double
 as the working "image" format, and a deterministic fake decoder supports
@@ -58,9 +60,24 @@ def _wav_decoder(data: bytes, w: int, h: int) -> np.ndarray:
     return arr.astype(np.float32).mean(axis=1)[None, :]
 
 
+def _jpeg_decoder(data: bytes, w: int, h: int) -> np.ndarray:
+    """Built-in pure-python baseline JPEG decode -> (h, w) float32 (RGB
+    collapses to ITU-R 601 luma, same convention as the png decoder)."""
+    from .. import jpeg
+
+    arr = jpeg.decode_jpeg(data)
+    if arr.shape[:2] != (h, w):
+        raise ValueError(f"JPEG dims {arr.shape[:2]} != metadata ({h}, {w})")
+    if arr.ndim == 3:
+        rgb = arr[..., :3].astype(np.float32)
+        return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+    return arr.astype(np.float32)
+
+
 _DEFAULT_DECODERS: dict[str, Callable[[bytes, int, int], np.ndarray]] = {
     "png": _png_decoder,
     "wav": _wav_decoder,
+    "jpeg": _jpeg_decoder,
 }
 _MEDIA_DECODERS: dict[str, Callable[[bytes, int, int], np.ndarray]] = dict(
     _DEFAULT_DECODERS
@@ -101,7 +118,7 @@ def _decode_media(
         seed = int.from_bytes(data[:8].ljust(8, b"\0"), "little") % (2**31)
         gy, gx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
         return (((gx * 31 + gy * 17 + seed) % 251)).astype(np.float32)
-    if fmt in ("jpeg", "webp", "mp3", "h264"):
+    if fmt in ("webp", "mp3", "h264"):
         raise NotImplementedError(
             f"media codec {fmt!r} needs PIL/ffmpeg (not in this sandbox); "
             "register one with multimodal.register_decoder"

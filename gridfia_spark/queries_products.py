@@ -1763,3 +1763,54 @@ def corpus_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_missing_lang"),
     )
+
+
+def _o_jpeg_stats(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    npx = spec.tile_w * spec.tile_h
+    return f"""WITH {osql.tiles_cte(spec)}
+SELECT image_id, {npx}::BIGINT AS npx, 1::BIGINT AS psnr_ge_40
+FROM tiles WHERE s IN (1, 2)"""
+
+
+@q("jpeg_tile_stats", _o_jpeg_stats)
+def jpeg_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint's lossy-format contract ("decoded pixels allclose,
+    PSNR>=40dB for lossy fmt"), executed on a GENUINE lossy codec: each
+    raster tile is transcoded to baseline JPEG (pure numpy DCT+Huffman,
+    gridfia_spark/jpeg.py, quality 95), decoded back through the
+    multimodal registry ('jpeg' is a built-in decoder, not a stub), and
+    its PSNR against the original pixels must clear 40 dB. The oracle pins
+    the contract flag per tile; the engine emits the measurement. Two
+    chained map-only Arrow stages, zero shuffle."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from . import codecs as cdx
+    from . import jpeg
+    from .operators import multimodal
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    meta = decode.with_tile_meta(tiles).filter(F.col("s").isin([1, 2]))
+    cols = meta.select("image_id", "bytes", "w", "h", "fmt")
+    decs = dict(multimodal._MEDIA_DECODERS)
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                orig = cdx.decode(bytes(r.bytes), int(r.w), int(r.h), r.fmt)
+                u8 = orig.astype(np.uint8)  # u8z contract: int-valued <=255
+                data = jpeg.encode_jpeg(u8, quality=95)
+                dec = multimodal._decode_media(
+                    data, "jpeg", int(r.w), int(r.h), decs
+                ).astype(np.uint8)
+                p = jpeg.psnr(u8, dec)
+                out.append((r.image_id, u8.size, int(p >= 40.0)))
+            yield pd.DataFrame(out, columns=["image_id", "npx", "psnr_ge_40"])
+
+    return cols.mapInPandas(
+        roundtrip, "image_id string, npx long, psnr_ge_40 long"
+    )
