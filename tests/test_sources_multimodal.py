@@ -132,10 +132,14 @@ class TestMultimodal:
         assert out["img2"].max_v <= 250
 
     def test_stub_raises_for_real_codecs(self, spark, media):
-        # png is a REAL built-in codec now (gridfia_spark/png.py); jpeg is
-        # still a stub until a decoder is registered
-        with pytest.raises(Exception, match="needs PIL/ffmpeg"):
+        # png/wav/jpeg are REAL built-in codecs now (gridfia_spark/png.py,
+        # wav.py, jpeg.py); mp3/h264 remain stubs until a decoder is
+        # registered. The built-in jpeg decoder must reject garbage bytes
+        # with a codec error, not the stub message.
+        with pytest.raises(Exception, match="not a JPEG|corrupt|marker"):
             multimodal.extract_features(media.filter(F.col("fmt") == "jpeg")).collect()
+        with pytest.raises(NotImplementedError, match="needs PIL/ffmpeg"):
+            multimodal._decode_media(b"\x00" * 8, "mp3", 4, 1)
 
     def test_decoder_registration(self, spark, media):
         """Registering a codec makes every operator decode that format —
@@ -155,11 +159,11 @@ class TestMultimodal:
             assert (rs.w, rs.h) == (2, 2)
         finally:
             multimodal.unregister_decoder("jpeg")
-        # after unregister the stub contract is back
-        with pytest.raises(Exception, match="needs PIL/ffmpeg"):
+        # unregistering the override restores the BUILT-IN jpeg codec,
+        # which rejects the fixture's garbage bytes with a codec error
+        with pytest.raises(Exception, match="not a JPEG|corrupt|marker"):
             multimodal.extract_features(media.filter(F.col("fmt") == "jpeg")).collect()
-        # unregistering an override of a BUILT-IN must restore it, not
-        # strip it: png still decodes afterwards
+        # same restore contract for png
         multimodal.register_decoder("png", fake_jpeg)
         multimodal.unregister_decoder("png")
         assert "png" in multimodal._MEDIA_DECODERS
