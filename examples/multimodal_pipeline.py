@@ -34,6 +34,12 @@ def main() -> None:
     print("PNG tile stats (genuine PNG containers):")
     png_stats.orderBy("image_id").show(5, truncate=False)
 
+    # --- images (lossy): PSNR>=40dB contract through real JPEG --------
+    jpeg_stats = qp.jpeg_tile_stats(spark, sf_dir)
+    n_tiles = jpeg_stats.count()
+    n_ok = jpeg_stats.filter("psnr_ge_40 = 1").count()
+    print(f"JPEG round-trip (quality 95): {n_ok}/{n_tiles} tiles >= 40 dB")
+
     # --- audio: waveform stats through real WAV bytes -----------------
     wav_stats = qp.wav_audio_stats(spark, sf_dir)
     print("WAV audio stats (genuine RIFF/PCM16 containers):")
