@@ -107,3 +107,40 @@ def read_tiles(spark: SparkSession, target: str) -> DataFrame:
     else:
         df = spark.read.parquet(target)
     return df.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+
+
+def compact_tiles(spark: SparkSession, path: str, target_files: int) -> int:
+    """Small-file compaction for the Parquet tile store — the
+    rewrite-data-files maintenance job of the Iceberg deployment (Iceberg's
+    ``rewriteDataFiles`` action does this natively; this is the Parquet
+    emulation). Reads the store, range-repartitions by the Morton
+    ``cell_id`` into ``target_files`` output files (so compaction PRESERVES
+    the z-clustered layout and its file-level bbox pruning), and atomically
+    swaps the rewritten store in via rename. Returns the new file count.
+
+    Streaming appends (streaming/incremental.py) and per-batch writes leave
+    many small files; at 100 TB unmanaged small files dominate scan
+    planning time, which is why compaction is scheduled maintenance, not
+    an option."""
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    tmp = f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
+    (
+        df.repartitionByRange(target_files, "cell_id")
+        .sortWithinPartitions("cell_id")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = f"{path.rstrip('/')}._old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -118,3 +118,45 @@ def test_clustered_write_prunes_bbox_scans(spark, tmp_path):
     # row coverage identical either way
     n = spark.read.parquet(zpath).count()
     assert n == spark.read.parquet(rpath).count() == tiles.count()
+
+
+def test_compaction_preserves_content_and_layout(spark, tmp_path):
+    """compact_tiles shrinks the file count, keeps every row bit-identical,
+    and keeps the z-clustered bbox-pruning property."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from gridfia_spark.datagen import tiles as tgen
+    from gridfia_spark.queries import _join_res
+    from gridfia_spark.sources import table
+
+    sf_dir = "/root/testdata/sf0.01"
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    path = str(tmp_path / "store")
+    # fragment the store: one file per input partition x species write
+    table.enriched_tiles(tiles, _join_res(sf_dir)).repartition(24).write.mode(
+        "overwrite"
+    ).parquet(path)
+    before_files = sum(
+        1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    before = {
+        (r.image_id, r.cell_id)
+        for r in spark.read.parquet(path).select("image_id", "cell_id").collect()
+    }
+    n_after = table.compact_tiles(spark, path, target_files=4)
+    assert n_after <= 4 < before_files
+    after_rows = spark.read.parquet(path).select("image_id", "cell_id").collect()
+    assert {(r.image_id, r.cell_id) for r in after_rows} == before
+    # layout check: each compacted file covers a contiguous cell_id range
+    fp = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"), "cell_id")
+        .groupBy("f")
+        .agg(F.min("cell_id").alias("lo"), F.max("cell_id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in fp)
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # non-overlapping ranges -> range pruning works
