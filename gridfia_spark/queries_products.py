@@ -1814,3 +1814,40 @@ def jpeg_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cols.mapInPandas(
         roundtrip, "image_id string, npx long, psnr_ge_40 long"
     )
+
+
+def _o_json_props(sf_dir: str) -> str:
+    return """SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_missing
+FROM events GROUP BY event_type"""
+
+
+@q("json_props_stats", _o_json_props)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction (SURVEY §2.8 JSON family; ref
+    fia_client.py:532-545 parses REST JSON responses): the events table's
+    ``props`` JSON column parsed with the JVM-side ``from_json`` — schema
+    projection happens inside whole-stage codegen, no Python — and
+    aggregated per event type, with a missing-key count (the schema-drift
+    check a pipeline over semi-structured logs needs)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = _t(spark, sf_dir, "events")
+    schema = StructType([StructField("k", LongType(), True)])
+    k = F.from_json("props", schema)["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_missing"),
+        )
+    )
