@@ -1851,3 +1851,43 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_missing"),
         )
     )
+
+
+def _o_ntile(sf_dir: str) -> str:
+    return """WITH spend AS (
+  SELECT o_custkey, SUM(o_totalprice) AS total
+  FROM orders GROUP BY o_custkey
+),
+q AS (
+  SELECT o_custkey, total,
+         NTILE(4) OVER (ORDER BY total DESC, o_custkey) AS quartile
+  FROM spend
+)
+SELECT quartile,
+       COUNT(*)::BIGINT AS n_customers,
+       ROUND(SUM(total), 6) AS sum_spend,
+       ROUND(MIN(total), 6) AS min_spend,
+       ROUND(MAX(total), 6) AS max_spend
+FROM q GROUP BY quartile"""
+
+
+@q("spend_quartiles", _o_ntile)
+def spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend quartiles via NTILE — the bucketed-ranking window
+    flavor (SURVEY §2.5 family; complements rank/row_number/percentile).
+    The global NTILE sorts one row per customer (already aggregated), so
+    the single-partition window holds the small dimension, never fact
+    rows; the deterministic (total DESC, custkey) order makes the bucket
+    boundaries engine-portable."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("total"), F.asc("o_custkey"))
+    q4 = spend.withColumn("quartile", F.ntile(4).over(w))
+    return q4.groupBy("quartile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("total"), 6).alias("sum_spend"),
+        F.round(F.min("total"), 6).alias("min_spend"),
+        F.round(F.max("total"), 6).alias("max_spend"),
+    )
