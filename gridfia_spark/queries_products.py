@@ -1891,3 +1891,44 @@ def spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("total"), 6).alias("min_spend"),
         F.round(F.max("total"), 6).alias("max_spend"),
     )
+
+
+def _o_event_gaps(sf_dir: str) -> str:
+    return """WITH g AS (
+  SELECT user_id,
+         EPOCH_US(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS gap_us
+  FROM events
+)
+SELECT user_id,
+       COUNT(gap_us)::BIGINT AS n_gaps,
+       ROUND(SUM(gap_us)::BIGINT / COUNT(gap_us) / 1e6, 6) AS avg_gap_s,
+       ROUND(MAX(gap_us)::BIGINT / 1e6, 6) AS max_gap_s,
+       SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)::BIGINT AS n_gaps_1h
+FROM g GROUP BY user_id"""
+
+
+@q("event_gaps", _o_event_gaps)
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user via LAG (SURVEY §2.5 family —
+    the lag/lead flavor): partitioned by user, ordered by (ts, event_id)
+    for a deterministic tie order. The window partitions are per-user
+    event sequences — bounded and parallel, no global sort. This is the
+    gap analysis behind the session-window threshold choice
+    (streaming/sessions.py)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = ev.withColumn("gap_us", us - F.lag(us).over(w))
+    # exact int64 microsecond sums; one final division -> bit-identical
+    # rounding on both engines (the sample_stats float-match rule)
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.sum("gap_us") / F.count("gap_us") / 1e6, 6).alias("avg_gap_s"),
+        F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"),
+        F.sum(
+            F.when(F.col("gap_us") > 3_600_000_000, 1).otherwise(0)
+        ).alias("n_gaps_1h"),
+    )
