@@ -89,12 +89,15 @@ def clip_to_polygon(
     return pairs.mapInPandas(clip, TILE_SCHEMA)
 
 
+AUTO_DIST_THRESHOLD = 10_000  # driver covering is fine up to ~10^4 polygons
+
+
 def zonal_stats(
     tiles: DataFrame,
     polygons: DataFrame,
     species: int = 0,
     res: int | None = None,
-    distributed: bool = False,
+    distributed: bool | str = "auto",
 ) -> DataFrame:
     """Per-polygon (poly_id) stats of one species layer:
     n_px, sum_v, mean_v, max_v, nonzero_px.
@@ -103,10 +106,16 @@ def zonal_stats(
     fixture boundaries). Pixels with value 0 count toward n_px but not
     nonzero_px — matching the reference's coverage stats
     (species_presence.py:92-125). ``distributed=True`` computes the polygon
-    covering in-cluster (the large-polygon-side plan)."""
+    covering in-cluster (the large-polygon-side plan); ``'auto'`` (default)
+    counts the polygon side — one cheap job against a dimension table —
+    and picks the driver covering below AUTO_DIST_THRESHOLD polygons, the
+    in-cluster covering above it (the choice Iceberg table stats would
+    make for free on the cluster)."""
     from .. import grid
 
     res = res if res is not None else grid.JOIN_RES
+    if distributed == "auto":
+        distributed = polygons.count() > AUTO_DIST_THRESHOLD
     meta = decode.with_tile_meta(tiles).filter(F.col("s") == species)
     cand = spatial_join.join_tiles_polygons(meta, polygons, res, distributed=distributed)
     # broadcast the (small) candidate-pair side so tile bytes never shuffle —
