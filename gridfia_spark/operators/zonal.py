@@ -118,12 +118,24 @@ def zonal_stats(
         distributed = polygons.count() > AUTO_DIST_THRESHOLD
     meta = decode.with_tile_meta(tiles).filter(F.col("s") == species)
     cand = spatial_join.join_tiles_polygons(meta, polygons, res, distributed=distributed)
-    # broadcast the (small) candidate-pair side so tile bytes never shuffle —
-    # at 10^12-image scale this is the difference between a map-side join and
-    # moving the whole image table
-    pairs = meta.select("image_id", "bytes", "w", "h", "fmt", "tx", "ty").join(
-        F.broadcast(cand), "image_id"
-    ).join(F.broadcast(polygons.select("poly_id", "geom_wkb")), "poly_id")
+    meta_sel = meta.select("image_id", "bytes", "w", "h", "fmt", "tx", "ty")
+    if distributed:
+        # Large-polygon-side plan: cand is O(tiles x overlapping polys) and the
+        # WKB frame is O(polygons) — force-broadcasting either is an executor
+        # OOM at scale. Attach WKB to the candidate pairs first (a pair-sized
+        # shuffle that never touches tile bytes), then meet the tile table in
+        # ONE shuffle-hash join on image_id: the hash table is built from the
+        # pair side, the byte-carrying tile rows stream through without ever
+        # being sorted, and AQE (on in session.py) splits any skewed cell.
+        cand_w = cand.join(polygons.select("poly_id", "geom_wkb"), "poly_id")
+        pairs = meta_sel.join(cand_w.hint("shuffle_hash"), "image_id")
+    else:
+        # driver-covering path: cand and the polygon dim are tiny — broadcast
+        # both so tile bytes never shuffle (the map-side join the reference's
+        # in-memory GeoDataFrame approximates on one node)
+        pairs = meta_sel.join(F.broadcast(cand), "image_id").join(
+            F.broadcast(polygons.select("poly_id", "geom_wkb")), "poly_id"
+        )
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

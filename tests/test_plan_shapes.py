@@ -46,6 +46,25 @@ class TestPlanShapes:
             plan = _plan(spark, name)
             assert "Exchange" not in plan, f"{name} plan shuffles: {plan[:400]}"
 
+    def test_distributed_zonal_broadcasts_nothing(self, spark):
+        """PLANS.md §2 (scale path): with distributed=True the candidate-pair
+        frame is O(tiles × overlapping polys) and the WKB frame is
+        O(polygons) — neither may be broadcast. The pair side meets the tile
+        bytes in a shuffle-hash join (bytes stream, never sorted)."""
+        plan = _plan(spark, "zonal_many_polygons")
+        # the only broadcasts allowed are the O(n_species) code-dimension
+        # zip-join inside with_tile_meta — never a join keyed on
+        # image_id / poly_id / cell_id (the O(tiles)/O(polygons) frames)
+        bad = re.findall(r"BroadcastHashJoin \[(?:image_id|poly_id|cell_id)", plan)
+        assert not bad, plan[:600]
+        assert re.search(r"ShuffledHashJoin \[image_id", plan)
+
+    def test_driver_zonal_still_map_side(self, spark):
+        """The small-polygon driver-covering path keeps the broadcast
+        map-side join (tile bytes never shuffle)."""
+        plan = _plan(spark, "zonal_total_biomass")
+        assert "BroadcastExchange" in plan
+
     def test_zonal_percentiles_has_no_buffering_aggregate(self, spark):
         """PLANS.md §11: histogram percentiles — no `percentile(` aggregate
         (which buffers a group's value population) anywhere in the plan."""
