@@ -1865,7 +1865,9 @@ q AS (
 )
 SELECT quartile,
        COUNT(*)::BIGINT AS n_customers,
-       ROUND(SUM(total), 6) AS sum_spend,
+       -- exact integer-cent sum: order-independent across engines (a 1e9
+       -- double sum rounded at 6dp is past float64 determinism)
+       ROUND(SUM(CAST(ROUND(total * 100) AS BIGINT)) / 100.0, 6) AS sum_spend,
        ROUND(MIN(total), 6) AS min_spend,
        ROUND(MAX(total), 6) AS max_spend
 FROM q GROUP BY quartile"""
@@ -1873,21 +1875,58 @@ FROM q GROUP BY quartile"""
 
 @q("spend_quartiles", _o_ntile)
 def spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer-spend quartiles via NTILE — the bucketed-ranking window
-    flavor (SURVEY §2.5 family; complements rank/row_number/percentile).
-    The global NTILE sorts one row per customer (already aggregated), so
-    the single-partition window holds the small dimension, never fact
-    rows; the deterministic (total DESC, custkey) order makes the bucket
-    boundaries engine-portable."""
+    """Customer-spend quartiles with NTILE semantics — the bucketed-ranking
+    window flavor (SURVEY §2.5 family) — computed WITHOUT a global sort.
+    A bare ``NTILE(4) OVER (ORDER BY ...)`` funnels every row through one
+    task; here the exact global rank in (total DESC, custkey) order is
+    assembled scale-safely instead:
+
+    1. value histogram of totals (``groupBy(total)``, one row per distinct
+       value) + distributed prefix count in total-DESC order
+       (functions/prefix.prefix_sum — range buckets, no single-task sort)
+       gives each value's starting rank;
+    2. ``row_number`` within a tie run (``Window.partitionBy(total)`` —
+       bounded, parallel) breaks ties by custkey;
+    3. the NTILE bucket is closed-form from (rank, n): the first n%4
+       buckets take ceil(n/4) rows — pure map-side arithmetic.
+
+    Bit-identical to NTILE(4) for every row, including tie runs that
+    straddle a bucket boundary."""
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total"))
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("total"), F.asc("o_custkey"))
-    q4 = spend.withColumn("quartile", F.ntile(4).over(w))
+    from .functions import prefix
+
+    hist = spend.groupBy("total").agg(F.count("*").alias("cnt"))
+    cum = prefix.prefix_sum(
+        hist.withColumn("_k", -F.col("total")), "_k", "cnt", "cum_le"
+    ).select("total", (F.col("cum_le") - F.col("cnt")).alias("cum_before"))
+    n_row = hist.agg(F.sum("cnt").alias("_n"))
+    w_run = Window.partitionBy("total").orderBy("o_custkey")
+    ranked = (
+        spend.join(cum, "total")
+        .withColumn("rank", F.col("cum_before") + F.row_number().over(w_run))
+        .crossJoin(F.broadcast(n_row))
+    )
+    qsz = F.floor(F.col("_n") / 4)
+    rem = F.col("_n") % 4
+    big = qsz + 1
+    quartile = (
+        F.when(F.col("rank") <= rem * big, F.floor((F.col("rank") - 1) / big))
+        .otherwise(
+            rem
+            + F.floor((F.col("rank") - rem * big - 1) / F.greatest(qsz, F.lit(1)))
+        )
+        + 1
+    )
+    q4 = ranked.withColumn("quartile", quartile.cast("int"))
+    # per-customer totals are prices (2-decimal) summed — convert to exact
+    # int64 cents before the bucket sum so the result is order-independent
+    cents = F.round(F.col("total") * 100, 0).cast("long")
     return q4.groupBy("quartile").agg(
         F.count("*").alias("n_customers"),
-        F.round(F.sum("total"), 6).alias("sum_spend"),
+        F.round(F.sum(cents) / 100.0, 6).alias("sum_spend"),
         F.round(F.min("total"), 6).alias("min_spend"),
         F.round(F.max("total"), 6).alias("max_spend"),
     )

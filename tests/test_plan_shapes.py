@@ -65,6 +65,19 @@ class TestPlanShapes:
         plan = _plan(spark, "zonal_total_biomass")
         assert "BroadcastExchange" in plan
 
+    def test_spend_quartiles_no_global_window(self, spark):
+        """PLANS.md §12 addendum: NTILE semantics without a global sort —
+        no ntile over an unpartitioned window; every Window operator is
+        partitioned, and the only SinglePartition exchange is the 1-row
+        scalar count aggregate."""
+        plan = _plan(spark, "spend_quartiles")
+        assert "ntile" not in plan
+        for line in plan.splitlines():
+            line = line.strip().lstrip("+-: ")
+            if line.startswith("Window "):
+                assert not re.search(r"\], \[\s*\], \[", line), line
+        assert plan.count("Exchange SinglePartition") <= 1
+
     def test_zonal_percentiles_has_no_buffering_aggregate(self, spark):
         """PLANS.md §11: histogram percentiles — no `percentile(` aggregate
         (which buffers a group's value population) anywhere in the plan."""
