@@ -151,3 +151,29 @@ class TestDataPipelineFacade:
         idx = str(tmp_path / "ivf")
         p.build_ann_index(emb.limit(100), idx)
         assert p.ann_topk_indexed(q, emb.limit(100), idx, k=2).count() > 0
+
+
+class TestDriverSampleOrder:
+    def test_driver_sample_covers_newest_operators(self):
+        """The driver's correctness snapshot samples the FIRST 50 registry
+        entries — pin that the curated head covers the newest operator
+        families (they had no driver row before round 4) and that every
+        sampled query carries an oracle."""
+        from gridfia_spark import queries as Q
+
+        head = list(Q.registry())[:50]
+        oracled = Q.oracles()
+        for name in (
+            "zonal_total_biomass",  # flagship stays first
+            "jpeg_tile_stats",
+            "phash_near_dup",
+            "sequence_packing",
+            "streaming_dedup",
+            "custom_kernel",
+            "zonal_many_polygons",
+            "spend_quartiles",
+        ):
+            assert name in head, name
+        assert all(n in oracled for n in head)
+        # registry() and oracles() agree on the ordering
+        assert [n for n in Q.registry() if n in oracled] == list(oracled)
