@@ -309,6 +309,70 @@ def netcdf_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return var
 
 
+def _o_netcdf_container(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.val_cte(spec)},
+r AS (SELECT gx, gy, SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS rich
+      FROM val GROUP BY gx, gy)
+SELECT 'x' AS part, {spec.gw}::BIGINT AS n,
+       {osql.X0_SQL}::DOUBLE AS lo,
+       ({osql.X0_SQL} + {spec.gw - 1} * 30.0)::DOUBLE AS hi,
+       ({osql.X0_SQL} + {spec.gw // 2} * 30.0)::DOUBLE AS chk
+UNION ALL
+SELECT 'y', {spec.gh}::BIGINT,
+       ({osql.Y0_SQL} - {spec.gh - 1} * 30.0)::DOUBLE,
+       {osql.Y0_SQL}::DOUBLE,
+       ({osql.Y0_SQL} - {spec.gh // 2} * 30.0)::DOUBLE
+UNION ALL
+SELECT 'richness', COUNT(*)::BIGINT, MIN(rich)::DOUBLE, MAX(rich)::DOUBLE,
+       SUM(rich)::DOUBLE
+FROM r"""
+
+
+@q("netcdf_container", _o_netcdf_container)
+def netcdf_container(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 physical container roundtrip (ref forest_metrics.py:603-637):
+    richness layer -> sinks.write_netcdf -> genuine NetCDF-3 classic bytes
+    on disk -> re-parsed with the same struct codec (netcdf3.read_netcdf3)
+    — the emitted rows are derived ONLY from the re-read file, so the
+    oracle gates magic/header/coords/variable content end to end."""
+    from . import netcdf3
+    from .constants import CRS, UNITS
+
+    spec = spec_for_sf_dir(sf_dir)
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    rich = metrics.metric_layers(
+        tiles, [metrics.MetricSpec("richness", "species_richness", {}, "long")]
+    )
+    path = _cache(sf_dir, "richness") + ".nc"
+    sinks.write_netcdf(rich, "richness", spec.gw, spec.gh, path)
+    with open(path, "rb") as f:
+        blob = f.read()
+    assert blob[:4] == b"CDF\x01"
+    dims, vars_, gattrs, _vattrs = netcdf3.read_netcdf3(blob)
+    assert gattrs["crs"] == CRS and gattrs["units"] == UNITS
+    assert dims == {"y": spec.gh, "x": spec.gw}
+    x, y = vars_["x"][1], vars_["y"][1]
+    rz = vars_["richness"][1]
+    assert vars_["richness"][0] == ("y", "x")
+    import numpy as np
+
+    rows = [
+        ("x", int(x.size), float(x.min()), float(x.max()), float(x[x.size // 2])),
+        ("y", int(y.size), float(y.min()), float(y.max()), float(y[y.size // 2])),
+        (
+            "richness",
+            int(rz.size),
+            float(rz.min()),
+            float(rz.max()),
+            float(rz.sum(dtype=np.int64)),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "part string, n bigint, lo double, hi double, chk double"
+    )
+
+
 # product/statistics queries (render, threshold kernels, bootstrap CI) —
 # imported last so their @q registrations land in the shared registry
 from . import queries_products  # noqa: E402,F401

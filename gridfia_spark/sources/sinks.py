@@ -67,9 +67,10 @@ def netcdf_dataset(
     - the variable as (y, x, <metric>) rows keyed by those coordinates,
     - the global attrs dict ({'crs', 'units'}).
 
-    The sandbox ships no netCDF library, so the container write itself is
-    the one documented gap; everything xarray would put IN the container is
-    produced and oracle-checked here."""
+    The physical container write is ``write_netcdf`` below (pure-numpy
+    NetCDF-3 classic codec, gridfia_spark/netcdf3.py); this function is the
+    distributed-content view the `netcdf_coords`/`netcdf_variable` oracles
+    check."""
     spark = metric_px.sparkSession
     xs = spark.range(width).select(
         F.lit("x").alias("axis"),
@@ -88,6 +89,45 @@ def netcdf_dataset(
         F.col(metric),
     )
     return coords, var, {"crs": CRS, "units": UNITS}
+
+
+def write_netcdf(
+    metric_px: DataFrame, metric: str, width: int, height: int, path: str
+) -> bytes:
+    """S13 physical NetCDF container (ref forest_metrics.py:603-637): the
+    Dataset content of ``netcdf_dataset`` serialized as genuine NetCDF-3
+    classic bytes via the pure-numpy codec (gridfia_spark/netcdf3.py) and
+    written to ``path``.
+
+    Single-file export contract, same as write_report_csv (S15): the
+    metric grid is assembled on the driver (an exported raster is by
+    definition one file; the reference holds the full xarray Dataset in
+    memory the same way). Returns the bytes for callers that verify the
+    round trip."""
+    from .. import netcdf3
+
+    pdf = metric_px.select("gx", "gy", metric).toPandas()
+    vals = pdf[metric].to_numpy()
+    arr = np.zeros(
+        (height, width),
+        dtype=np.int32 if np.issubdtype(vals.dtype, np.integer) else np.float64,
+    )
+    arr[pdf["gy"].to_numpy(), pdf["gx"].to_numpy()] = vals
+    x = X0 + np.arange(width, dtype=np.float64) * PIX
+    y = Y0 - np.arange(height, dtype=np.float64) * PIX
+    blob = netcdf3.write_netcdf3(
+        dims={"y": height, "x": width},
+        variables={
+            "y": (("y",), y),
+            "x": (("x",), x),
+            metric: (("y", "x"), arr),
+        },
+        global_attrs={"crs": CRS, "units": UNITS},
+        var_attrs={metric: {"units": UNITS, "grid_mapping": CRS}},
+    )
+    with open(path, "wb") as f:
+        f.write(blob)
+    return blob
 
 
 def write_report_csv(df: DataFrame, path: str) -> None:
