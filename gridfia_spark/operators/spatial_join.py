@@ -179,6 +179,9 @@ def join_tiles_polygons(
     polygons: DataFrame,
     res: int = grid.JOIN_RES,
     distributed: bool = False,
+    salted: bool = False,
+    salt_k: int = 8,
+    salt_threshold: int = 64,
 ) -> DataFrame:
     """Candidate tile×polygon pairs via the cell-prefix join.
 
@@ -188,6 +191,10 @@ def join_tiles_polygons(
     in zonal aggregation. Candidate pairs where only boundary cells touch are
     a superset; exact per-pixel refinement happens downstream.
     ``distributed=True`` builds the covering in-cluster (large polygon side).
+    ``salted=True`` routes the cell equi-join through skew.salted_join: cells
+    holding more than ``salt_threshold`` tile rows (dense urban clusters /
+    a polygon covering most of the raster) are spread over ``salt_k``
+    reducers — identical rows, no hot-key straggler.
     """
     spark = tiles_meta.sparkSession
     if distributed:
@@ -198,7 +205,14 @@ def join_tiles_polygons(
     tcells = decode.with_tile_cells(tiles_meta, res).select(
         "image_id", "cell_id", "n_tile_cells", "xmin", "ymin", "xmax", "ymax"
     )
-    j = tcells.join(pcells if distributed else F.broadcast(pcells), "cell_id")
+    if salted:
+        from . import skew
+
+        j = skew.salted_join(
+            tcells, pcells, on="cell_id", k=salt_k, threshold=salt_threshold
+        )
+    else:
+        j = tcells.join(pcells if distributed else F.broadcast(pcells), "cell_id")
     agg = j.groupBy("image_id", "poly_id").agg(
         F.count("*").alias("n_hit"),
         F.min(F.col("fully_inside").cast("int")).alias("all_full"),

@@ -98,6 +98,9 @@ def zonal_stats(
     species: int = 0,
     res: int | None = None,
     distributed: bool | str = "auto",
+    salted: bool = False,
+    salt_k: int = 8,
+    salt_threshold: int = 64,
 ) -> DataFrame:
     """Per-polygon (poly_id) stats of one species layer:
     n_px, sum_v, mean_v, max_v, nonzero_px.
@@ -110,14 +113,24 @@ def zonal_stats(
     counts the polygon side — one cheap job against a dimension table —
     and picks the driver covering below AUTO_DIST_THRESHOLD polygons, the
     in-cluster covering above it (the choice Iceberg table stats would
-    make for free on the cluster)."""
+    make for free on the cluster). ``salted=True`` routes the candidate
+    cell join through the explicit hot-key salting path (operators/skew.py)
+    — the plan for a polygon that covers most of the raster."""
     from .. import grid
 
     res = res if res is not None else grid.JOIN_RES
     if distributed == "auto":
         distributed = polygons.count() > AUTO_DIST_THRESHOLD
     meta = decode.with_tile_meta(tiles).filter(F.col("s") == species)
-    cand = spatial_join.join_tiles_polygons(meta, polygons, res, distributed=distributed)
+    cand = spatial_join.join_tiles_polygons(
+        meta,
+        polygons,
+        res,
+        distributed=distributed,
+        salted=salted,
+        salt_k=salt_k,
+        salt_threshold=salt_threshold,
+    )
     meta_sel = meta.select("image_id", "bytes", "w", "h", "fmt", "tx", "ty")
     if distributed:
         # Large-polygon-side plan: cand is O(tiles x overlapping polys) and the

@@ -209,6 +209,76 @@ def pip_points_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("point_id", "poly_id")
 
 
+def _skew_bounds(sf_dir: str) -> list[tuple[str, float, float, float, float]]:
+    """One HOT polygon covering 7/8 x 7/8 of the raster (every covering cell
+    of most tiles hits it — the deliberately skewed key distribution) plus
+    two small rects in the remaining strip. Fractions are /8 so the float64
+    bounds are exact and shared bit-equal with the oracle."""
+    spec = spec_for_sf_dir(sf_dir)
+    w_m, h_m = spec.gw * 30.0, spec.gh * 30.0
+    return [
+        ("HOT", X0, Y0 - 0.875 * h_m, X0 + 0.875 * w_m, Y0),
+        ("EDGE_E", X0 + 0.875 * w_m, Y0 - 0.5 * h_m, X0 + w_m, Y0),
+        ("EDGE_S", X0, Y0 - h_m, X0 + 0.5 * w_m, Y0 - 0.875 * h_m),
+    ]
+
+
+def _o_zonal_skewed(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    rows = ",\n    ".join(
+        f"('{pid}',{xmin!r},{ymin!r},{xmax!r},{ymax!r})"
+        for pid, xmin, ymin, xmax, ymax in _skew_bounds(sf_dir)
+    )
+    return f"""WITH {osql.total_cte(spec)},
+zs(poly_id, xmin, ymin, xmax, ymax) AS (
+  SELECT * FROM (VALUES
+    {rows}
+  ) t(poly_id, xmin, ymin, xmax, ymax)
+)
+SELECT c.poly_id AS poly_id,
+       COUNT(*)::BIGINT AS n_px,
+       CAST(SUM(t.v) AS DOUBLE) AS sum_v,
+       CAST(MAX(t.v) AS DOUBLE) AS max_v,
+       CAST(SUM(CASE WHEN t.v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero_px
+FROM total t JOIN zs c
+  ON t.x > c.xmin AND t.x < c.xmax AND t.y > c.ymin AND t.y < c.ymax
+GROUP BY c.poly_id"""
+
+
+@q("zonal_skewed", _o_zonal_skewed)
+def zonal_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal stats under a deliberately hot key distribution (north rule
+    skew handling on the TILE path): one polygon covers 7/8 x 7/8 of the
+    raster, so nearly every tile's covering cells hit it. The candidate
+    cell join runs through operators/skew.salted_join (threshold=0 forces
+    every cell through hot-key replication + probe salting, k=8) — rows
+    must equal the plain zonal oracle; a pytest additionally pins
+    salted == unsalted."""
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    rows = [
+        (pid, pid.lower(), bytearray(geom.polygon_to_wkb(
+            geom.rect_polygon(xmin, ymin, xmax, ymax))),
+         xmin, ymin, xmax, ymax, True)
+        for pid, xmin, ymin, xmax, ymax in _skew_bounds(sf_dir)
+    ]
+    polys = spark.createDataFrame(
+        rows,
+        "poly_id string, name string, geom_wkb binary, "
+        "xmin double, ymin double, xmax double, ymax double, is_rect boolean",
+    )
+    out = zonal.zonal_stats(
+        tiles, polys, species=0, res=_join_res(sf_dir), distributed=False,
+        salted=True, salt_threshold=0,
+    )
+    return out.select(
+        "poly_id",
+        F.col("n_px").cast("long"),
+        F.col("sum_v").cast("double"),
+        F.col("max_v").cast("double"),
+        F.col("nonzero_px").cast("long"),
+    )
+
+
 # ===================================================================
 # Iceberg-layout store roundtrip (S2 / sources/table.py)
 # ===================================================================

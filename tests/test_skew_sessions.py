@@ -31,6 +31,36 @@ class TestSaltedJoin:
         b = {(r.cell_id, r.payload, r.attr) for r in salted.collect()}
         assert a == b and len(a) == 6000
 
+    def test_zonal_salted_equals_unsalted(self, spark):
+        """The salted zonal tile path (zonal_stats(salted=True)) returns
+        bit-identical rows to the plain broadcast path — the hot polygon
+        covers 7/8 of the raster so every cell rides the salted join."""
+        from gridfia_spark import queries_products as qp
+        from gridfia_spark.datagen import tiles as tgen
+        from gridfia_spark.operators import zonal
+        from gridfia_spark.queries import _join_res
+        from gridfia_spark import geom
+
+        sf = "/root/testdata/sf0.001"
+        tiles = tgen.ensure_tiles(spark, sf)
+        rows = [
+            (pid, pid.lower(), bytearray(geom.polygon_to_wkb(
+                geom.rect_polygon(xmin, ymin, xmax, ymax))),
+             xmin, ymin, xmax, ymax, True)
+            for pid, xmin, ymin, xmax, ymax in qp._skew_bounds(sf)
+        ]
+        polys = spark.createDataFrame(
+            rows,
+            "poly_id string, name string, geom_wkb binary, "
+            "xmin double, ymin double, xmax double, ymax double, is_rect boolean",
+        )
+        res = _join_res(sf)
+        kw = dict(species=0, res=res, distributed=False)
+        plain = zonal.zonal_stats(tiles, polys, **kw)
+        salted = zonal.zonal_stats(tiles, polys, salted=True, salt_threshold=0, **kw)
+        key = lambda r: (r.poly_id, r.n_px, r.sum_v, r.max_v, r.nonzero_px)
+        assert sorted(map(key, plain.collect())) == sorted(map(key, salted.collect()))
+
     def test_hot_cell_detection(self, spark):
         probe = spark.range(2000).select(
             F.when(F.col("id") < 1500, F.lit(9)).otherwise(F.col("id")).alias("cell_id")
