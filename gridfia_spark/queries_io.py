@@ -373,6 +373,91 @@ def netcdf_container(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_config_run(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    return f"""WITH {osql.val_cte(spec)},
+t AS (SELECT gx, gy, CAST(SUM(v) AS DOUBLE) AS total,
+             SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS rich
+      FROM val GROUP BY gx, gy),
+sh AS (
+  SELECT v.gx, v.gy,
+         SUM(CASE WHEN v.v > 0 THEN -(v.v / t.total) * ln(v.v / t.total) ELSE 0 END) AS shannon,
+         SUM(CASE WHEN v.v > 0 THEN (v.v / t.total) * (v.v / t.total) ELSE 0 END) AS sumsq
+  FROM val v JOIN t ON v.gx = t.gx AND v.gy = t.gy AND t.total > 0
+  GROUP BY v.gx, v.gy
+),
+mx AS (
+  SELECT t.gx, t.gy, t.rich,
+         COALESCE(sh.shannon, 0.0) AS shannon,
+         CASE WHEN sh.sumsq IS NOT NULL THEN 1.0 / sh.sumsq ELSE 1.0 END AS simpson
+  FROM t LEFT JOIN sh ON t.gx = sh.gx AND t.gy = sh.gy
+)
+SELECT 'richness' AS output, COUNT(*)::BIGINT AS n_px,
+       ROUND(MAX(rich)::DOUBLE, 6) AS max_v,
+       CAST(SUM(rich) AS DOUBLE) AS chk
+FROM mx
+UNION ALL
+SELECT 'shannon', COUNT(*)::BIGINT,
+       ROUND(CAST(CAST(MAX(shannon) AS REAL) AS DOUBLE), 6),
+       SUM(CASE WHEN shannon > 0 THEN 1 ELSE 0 END)::DOUBLE
+FROM mx
+UNION ALL
+SELECT 'simpson', COUNT(*)::BIGINT,
+       ROUND(MAX(simpson), 6), ROUND(AVG(simpson), 6)
+FROM mx"""
+
+
+@q("config_run", _o_config_run)
+def config_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-driven analysis run end to end (ref config_templates.py +
+    location_config.py:44-102 YAML configs): load the repo's example
+    analysis config (JSON — document shape mirrors the reference's YAML
+    templates 1:1), execute config.run_analysis — one shared kernel pass
+    fanned out to tile-parquet and CSV sinks — then derive every emitted
+    row from the PERSISTED outputs (re-read parquet tiles decoded through
+    the codec; re-read CSV summary), so the oracle gates the whole
+    config → compute → sink → artifact path.
+
+    Tile-parquet probes compare through the float32 tile codec (max via a
+    REAL cast on the oracle side); the CSV summary carries float64."""
+    from . import config as cfgmod
+
+    cfg_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "analysis_config.json",
+    )
+    cfg = cfgmod.load_config(cfg_path)
+    cfg.output_dir = _cache(sf_dir, "config_run")
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    res = cfgmod.run_analysis(spark, tiles, cfg)
+    rows = []
+    for out_name in ("richness", "shannon"):
+        st = (
+            decode.decode_stats(spark.read.parquet(res[out_name]))
+            .agg(
+                F.sum("npx").alias("n"),
+                F.sum("nonzero").alias("nz"),
+                F.max("vmax").alias("mx"),
+                F.sum("vsum").alias("sm"),
+            )
+            .first()
+        )
+        chk = float(st.sm) if out_name == "richness" else float(st.nz)
+        rows.append((out_name, int(st.n), round(float(st.mx), 6), chk))
+    c = spark.read.csv(
+        res["simpson"],
+        header=True,
+        schema="vmin double, vmax double, vmean double, n_px bigint",
+    ).first()
+    rows.append(
+        ("simpson", int(c.n_px), round(float(c.vmax), 6), round(float(c.vmean), 6))
+    )
+    return spark.createDataFrame(
+        rows, "output string, n_px bigint, max_v double, chk double"
+    )
+
+
 # product/statistics queries (render, threshold kernels, bootstrap CI) —
 # imported last so their @q registrations land in the shared registry
 from . import queries_products  # noqa: E402,F401
