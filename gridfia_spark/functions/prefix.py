@@ -34,6 +34,7 @@ def prefix_sum(
     value_col: str,
     out_col: str = "cum",
     num_partitions: int | None = None,
+    persist: bool = False,
 ) -> DataFrame:
     """Exact global cumulative sum of ``value_col`` in ``order_col`` order
     (inclusive), without ever sorting the whole table in one task.
@@ -43,8 +44,18 @@ def prefix_sum(
     (approx-quantile boundaries baked into the plan), not
     ``spark_partition_id`` — so the offsets job and the scan job agree on
     bucket membership even across independent recomputes, with no persist
-    required."""
+    required.
+
+    Cost note: the recompute-safe default evaluates ``df`` three times
+    (quantile bounds, per-bucket totals, final scan) — free for a parquet
+    scan, expensive when ``df`` is itself a derived pipeline.
+    ``persist=True`` caches ``df`` for the duration, so the upstream
+    computes once and the three passes read the cache; the caller owns the
+    cache's lifetime (``df.unpersist()`` after consuming the result —
+    Spark evicts LRU otherwise)."""
     spark = df.sparkSession
+    if persist:
+        df = df.persist()
     n = num_partitions or spark.sparkContext.defaultParallelism
     probs = [i / n for i in range(1, n)]
     bounds = []

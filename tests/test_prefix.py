@@ -32,3 +32,18 @@ def test_prefix_sum_plan_has_no_single_partition_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(_b" in plan
+
+
+def test_prefix_sum_persist_mode_equals_default(spark):
+    """persist=True caches the input for the three passes; results are
+    bit-identical to the recompute-safe default, and the cache is
+    releasable by the caller."""
+    df = spark.range(3000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 48271) % 700 - 100).alias("v"),
+    )
+    plain = {r.k: r.cum for r in prefix.prefix_sum(df, "k", "v").collect()}
+    cached = prefix.prefix_sum(df, "k", "v", persist=True)
+    got = {r.k: r.cum for r in cached.collect()}
+    assert got == plain
+    spark.catalog.clearCache()
