@@ -51,6 +51,7 @@ DRIVER_PRIORITY: list[str] = [
     "netcdf_container",
     # round-3 flagships and round-2-late queries (never driver-sampled)
     "jpeg_tile_stats",
+    "webp_tile_stats",
     "png_tile_stats",
     "wav_audio_stats",
     "video_frame_stats",
@@ -73,8 +74,6 @@ DRIVER_PRIORITY: list[str] = [
     "csv_report_roundtrip",
     "export_manifest",
     "bbox_validation",
-    "netcdf_coords",
-    "netcdf_variable",
     "streaming_zonal",
     "stateful_monitor",
     "render_layers",

@@ -928,6 +928,70 @@ def png_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_webp_stats(sf_dir: str) -> str:
+    return _o_png_stats(sf_dir)
+
+
+@q("webp_tile_stats", _o_webp_stats)
+def webp_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile stats through GENUINE WebP bytes: transcode each raster tile to
+    a real lossless RIFF/WEBP/VP8L file (pure-python codec,
+    gridfia_spark/vp8l.py — no transforms, literal + run-length LZ77,
+    canonical limited Huffman), then decode through the multimodal registry
+    ('webp' is a built-in decoder, not a stub) and aggregate per tile.
+    Lossless, so the oracle is the exact pixel math — the same contract as
+    png_tile_stats, on a second real container format. Two chained
+    map-only stages, no shuffle."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from . import codecs, vp8l
+    from .operators import multimodal
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    meta = decode.with_tile_meta(tiles).filter(F.col("s").isin([1, 3]))
+    cols = meta.select("image_id", "bytes", "w", "h", "fmt")
+
+    def transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode(r.bytes, int(r.w), int(r.h), r.fmt)
+                out.append(
+                    (r.image_id, vp8l.encode_gray(arr.astype(np.uint8)),
+                     int(r.w), int(r.h))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "bytes", "w", "h"])
+
+    media = cols.mapInPandas(
+        transcode, "media_id string, bytes binary, w int, h int"
+    )
+    decs = dict(multimodal._MEDIA_DECODERS)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = multimodal._decode_media(
+                    bytes(r.bytes), "webp", int(r.w), int(r.h), decs
+                ).astype(np.float64)
+                out.append(
+                    (r.media_id, float(arr.min()), float(arr.max()),
+                     float(arr.sum()), int((arr > 0).sum()), arr.size)
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "vmin", "vmax", "vsum", "nonzero", "npx"]
+            )
+
+    return media.mapInPandas(
+        stats,
+        "image_id string, vmin double, vmax double, vsum double, "
+        "nonzero long, npx long",
+    )
+
+
 # ===================================================================
 # Extensibility surface through the gate (SURVEY §2.10): a USER kernel
 # registered at query time runs through the shared metric pass

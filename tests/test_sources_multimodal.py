@@ -132,13 +132,13 @@ class TestMultimodal:
         assert out["img2"].max_v <= 250
 
     def test_stub_raises_for_real_codecs(self, spark, media):
-        # png/wav/jpeg are REAL built-in codecs now (gridfia_spark/png.py,
-        # wav.py, jpeg.py); mp3/h264 remain stubs until a decoder is
-        # registered. The built-in jpeg decoder must reject garbage bytes
-        # with a codec error, not the stub message.
+        # png/wav/jpeg/webp are REAL built-in codecs now (gridfia_spark/
+        # png.py, wav.py, jpeg.py, vp8l.py); mp3/h264 are the documented
+        # permanent stub. The built-in jpeg decoder must reject garbage
+        # bytes with a codec error, not the stub message.
         with pytest.raises(Exception, match="not a JPEG|corrupt|marker"):
             multimodal.extract_features(media.filter(F.col("fmt") == "jpeg")).collect()
-        with pytest.raises(NotImplementedError, match="needs PIL/ffmpeg"):
+        with pytest.raises(NotImplementedError, match="register_decoder"):
             multimodal._decode_media(b"\x00" * 8, "mp3", 4, 1)
 
     def test_decoder_registration(self, spark, media):
