@@ -21,7 +21,8 @@ import sys, json; sys.path.insert(0, "/root/repo")
 from gridfia_spark.session import get_spark
 from gridfia_spark import queries as Q
 from gridfia_spark.queries_products import (
-    zonal_percentiles, wav_audio_stats, zorder_layout, sequence_packing)
+    zonal_percentiles, wav_audio_stats, zorder_layout, sequence_packing,
+    spend_quartiles, zonal_skewed, webp_tile_stats)
 spark = get_spark(cores={cores}, shuffle_partitions={sh})
 pdf = Q.zonal_total_biomass(spark, "/root/testdata/sf0.001").toPandas()
 pdf = pdf.sort_values("poly_id", ignore_index=True)
@@ -35,11 +36,22 @@ zo = zo.sort_values("bucket", ignore_index=True)
 # packing result must not
 sp = sequence_packing(spark, "/root/testdata/sf0.001").toPandas()
 sp = sp.sort_values("bin", ignore_index=True)
+# round-4: distributed-rank NTILE (prefix buckets change with cores),
+# salted zonal, and the VP8L transcode chain must all be invariant
+sq = spend_quartiles(spark, "/root/testdata/sf0.001").toPandas()
+sq = sq.sort_values("quartile", ignore_index=True)
+zk = zonal_skewed(spark, "/root/testdata/sf0.001").toPandas()
+zk = zk.sort_values("poly_id", ignore_index=True)
+wb = webp_tile_stats(spark, "/root/testdata/sf0.001").toPandas()
+wb = wb.sort_values("image_id", ignore_index=True)
 print("RESULT" + json.dumps({{"zonal": pdf.to_dict("records"),
                               "pct": pct.to_dict("records"),
                               "wav": wav.to_dict("records"),
                               "zorder": zo.to_dict("records"),
-                              "pack": sp.to_dict("records")}}))
+                              "pack": sp.to_dict("records"),
+                              "quartiles": sq.to_dict("records"),
+                              "skewed": zk.to_dict("records"),
+                              "webp": wb.to_dict("records")}}))
 spark.stop()
 """
 
