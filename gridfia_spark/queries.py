@@ -70,6 +70,7 @@ DRIVER_PRIORITY: list[str] = [
     "pip_points_salted",
     "zorder_layout",
     "table_layout_roundtrip",
+    "zarr_store_roundtrip",
     "sink_roundtrip",
     "csv_report_roundtrip",
     "export_manifest",

@@ -309,6 +309,41 @@ def netcdf_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return var
 
 
+def _o_zarr_store(sf_dir: str) -> str:
+    from .queries import _o_decode_stats
+
+    return _o_decode_stats(sf_dir)
+
+
+@q("zarr_store_roundtrip", _o_zarr_store)
+def zarr_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 through a GENUINE Zarr v2 store (ref zarr_utils.py:259-320, the
+    reference's core storage abstraction): tile rows -> distributed chunk
+    write (every task writes its own ``s.ty.tx`` chunk file through the
+    zlib codec; driver writes only the .zgroup/.zarray/.zattrs JSON) ->
+    distributed binaryFile scan back to tile rows -> per-tile decode
+    stats. The oracle is the same full-layer pixel math as
+    tile_decode_stats, so the store write+scan must be bit-lossless."""
+    import shutil as _sh
+
+    from .sources import zarrstore
+
+    spec = spec_for_sf_dir(sf_dir)
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    store = _cache(sf_dir, "zarrstore") + ".zarr"
+    _sh.rmtree(store, ignore_errors=True)
+    n = zarrstore.write_zarr_store(tiles, store)
+    assert n == (len(SPECIES)) * spec.tiles_x * spec.tiles_y, n
+    zarray, attrs = zarrstore.read_zarr_array_meta(store)
+    assert zarray["chunks"] == [1, spec.tile_h, spec.tile_w]
+    assert zarray["shape"] == [len(SPECIES), spec.gh, spec.gw]
+    assert attrs["crs"] and attrs["transform"][1] == 30.0
+    back = zarrstore.read_zarr_store(spark, store)
+    return decode.decode_stats(back).select(
+        "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
+    )
+
+
 def _o_netcdf_container(sf_dir: str) -> str:
     spec = spec_for_sf_dir(sf_dir)
     return f"""WITH {osql.val_cte(spec)},

@@ -1,0 +1,191 @@
+"""Genuine Zarr v2 directory store: distributed chunk write + scan.
+
+The reference's core storage abstraction IS a Zarr cube — a (species, y, x)
+float32 array chunked (1, chunk_h, chunk_w) (zarr_utils.py:259-320, chunks
+at :280). The engine's tile rows map 1:1 to those chunks, so the store can
+be written and read with nothing but the public Zarr v2 spec
+(zarr-specs v2: ``.zgroup``/``.zarray``/``.zattrs`` JSON + one file per
+chunk named ``i.j.k``, raw C-order bytes through the named compressor):
+
+- WRITE is fully distributed: every Spark task serializes and writes its
+  own chunk files (``s.ty.tx``) — exactly how Zarr is written to object
+  stores at scale, no driver assembly, no shuffle; only the tiny JSON
+  metadata is driver-side.
+- READ is a distributed ``binaryFile`` scan over the chunk files: chunk
+  indices parsed from the file name (a pure projection — partition-prune
+  friendly), zlib-decoded in the task, re-encoded as engine tile rows.
+
+The compressor is stdlib zlib (a first-class registered Zarr codec id);
+the reference's Blosc-LZ4 store reads the same way with a different codec
+entry. Round-tripped bit-exact through `zarr_store_roundtrip`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import codecs
+from ..constants import CRS, PIX, SPECIES, UNITS, X0, Y0, caption, image_id
+from ..operators import decode
+
+ZARR_FORMAT = 2
+
+
+def write_zarr_store(
+    tiles: DataFrame, path: str, array: str = "biomass", level: int = 6
+) -> int:
+    """Write engine tile rows as a genuine Zarr v2 group ``path`` holding
+    one float32 array ``array`` of shape (n_layers, gh, gw), chunked
+    (1, tile_h, tile_w). Chunk files are written BY THE TASKS (one file
+    per tile row, no driver assembly); returns the number of chunks."""
+    meta = decode.with_tile_meta(tiles)
+    info = meta.agg(
+        F.max("s").alias("smax"),
+        F.max("tx").alias("txmax"),
+        F.max("ty").alias("tymax"),
+        F.min("w").alias("w"),
+        F.min("h").alias("h"),
+        F.max("w").alias("wmax"),
+        F.max("h").alias("hmax"),
+    ).first()
+    if info.w != info.wmax or info.h != info.hmax:
+        raise ValueError("zarr chunks require uniform tile dimensions")
+    n_layers = int(info.smax) + 1
+    tw, th = int(info.w), int(info.h)
+    gw, gh = (int(info.txmax) + 1) * tw, (int(info.tymax) + 1) * th
+    adir = os.path.join(path, array)
+    os.makedirs(adir, exist_ok=True)
+    with open(os.path.join(path, ".zgroup"), "w") as fh:
+        json.dump({"zarr_format": ZARR_FORMAT}, fh)
+    with open(os.path.join(adir, ".zarray"), "w") as fh:
+        json.dump(
+            {
+                "zarr_format": ZARR_FORMAT,
+                "shape": [n_layers, gh, gw],
+                "chunks": [1, th, tw],
+                "dtype": "<f4",
+                "compressor": {"id": "zlib", "level": level},
+                "fill_value": 0.0,
+                "order": "C",
+                "filters": None,
+            },
+            fh,
+        )
+    with open(os.path.join(adir, ".zattrs"), "w") as fh:
+        json.dump(
+            {
+                "crs": CRS,
+                "units": UNITS,
+                "transform": [X0, PIX, 0.0, Y0, 0.0, -PIX],
+                "species_codes": [c for c, _ in SPECIES[:n_layers]],
+                "_ARRAY_DIMENSIONS": ["species", "y", "x"],
+            },
+            fh,
+        )
+
+    def wchunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode(r.bytes, int(r.w), int(r.h), r.fmt)
+                blob = zlib.compress(
+                    np.ascontiguousarray(arr, dtype="<f4").tobytes(), level
+                )
+                name = f"{int(r.s)}.{int(r.ty)}.{int(r.tx)}"
+                with open(os.path.join(adir, name), "wb") as fh:
+                    fh.write(blob)
+                out.append((name, len(blob)))
+            if out:
+                yield pd.DataFrame(out, columns=["chunk", "nbytes"])
+
+    manifest = meta.select("s", "tx", "ty", "bytes", "w", "h", "fmt").mapInPandas(
+        wchunks, "chunk string, nbytes long"
+    )
+    return manifest.count()
+
+
+def read_zarr_array_meta(path: str, array: str = "biomass") -> tuple[dict, dict]:
+    """(.zarray, .zattrs) JSON documents, validated for the supported
+    subset (v2, C order, <f4, zlib-or-raw)."""
+    adir = os.path.join(path, array)
+    with open(os.path.join(adir, ".zarray")) as fh:
+        zarray = json.load(fh)
+    if zarray.get("zarr_format") != ZARR_FORMAT:
+        raise ValueError("not a Zarr v2 array")
+    if zarray.get("order") != "C" or zarray.get("dtype") != "<f4":
+        raise ValueError("unsupported zarr array layout (need C-order <f4)")
+    comp = zarray.get("compressor")
+    if comp is not None and comp.get("id") != "zlib":
+        raise ValueError(f"unsupported zarr compressor {comp!r} (zlib or raw)")
+    attrs = {}
+    zattrs = os.path.join(adir, ".zattrs")
+    if os.path.exists(zattrs):
+        with open(zattrs) as fh:
+            attrs = json.load(fh)
+    return zarray, attrs
+
+
+def read_zarr_store(
+    spark: SparkSession, path: str, array: str = "biomass"
+) -> DataFrame:
+    """Distributed Zarr v2 scan -> engine tile rows (image_id, bytes, w, h,
+    fmt, caption, phash). Chunk indices come from the file NAME (a pure
+    projection; an object-store listing prunes the same way)."""
+    from ..datagen import pixels as pxgen
+    from ..datagen.tiles import TILE_SCHEMA
+
+    zarray, attrs = read_zarr_array_meta(path, array)
+    _, th, tw = (int(c) for c in zarray["chunks"])
+    compressed = zarray.get("compressor") is not None
+    stored_codes = attrs.get("species_codes")
+    names = dict(SPECIES)
+    codes = {
+        i: (c, names.get(c, c))
+        for i, c in enumerate(stored_codes or [c for c, _ in SPECIES])
+    }
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "[0-9]*")
+        .load(os.path.join(path, array))
+        .select("path", "content")
+    )
+
+    def rd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                name = r.path.rsplit("/", 1)[-1]
+                s, cy, cx = (int(x) for x in name.split("."))
+                raw = bytes(r.content)
+                if compressed:
+                    raw = zlib.decompress(raw)
+                arr = np.frombuffer(raw, dtype="<f4").reshape(th, tw)
+                code, nm = codes[s]
+                rows.append(
+                    (
+                        image_id(code, cx, cy),
+                        codecs.encode(arr, "rawz"),
+                        tw,
+                        th,
+                        "rawz",
+                        caption(code, nm, cx, cy),
+                        pxgen.phash64(arr),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                    ],
+                )
+
+    return files.mapInPandas(rd, TILE_SCHEMA)

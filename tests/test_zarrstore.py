@@ -1,0 +1,102 @@
+"""Zarr v2 store: metadata layout, chunk bytes verifiable by hand, and
+distributed write -> scan round trip (sources/zarrstore.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gridfia_spark import codecs
+from gridfia_spark.datagen import pixels as pxgen
+from gridfia_spark.datagen import tiles as tgen
+from gridfia_spark.sources import zarrstore
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestZarrStore:
+    def test_store_layout_and_chunk_bytes(self, spark, tmp_path):
+        """The store must be readable with nothing but the v2 spec: JSON
+        docs + zlib chunks whose raw bytes equal the tile pixels."""
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "t.zarr")
+        n = zarrstore.write_zarr_store(tiles, store)
+        assert n == tiles.count()
+        assert json.load(open(os.path.join(store, ".zgroup"))) == {"zarr_format": 2}
+        zarray = json.load(open(os.path.join(store, "biomass", ".zarray")))
+        assert zarray["dtype"] == "<f4" and zarray["order"] == "C"
+        assert zarray["compressor"] == {"id": "zlib", "level": 6}
+        # hand-decode one chunk with stdlib only and compare to the codec
+        row = tiles.filter(F.col("image_id").contains("tx000_ty000")).first()
+        s = 0 if row.image_id.startswith("sp0000") else None
+        # find this row's layer via the stored species_codes
+        attrs = json.load(open(os.path.join(store, "biomass", ".zattrs")))
+        code = row.image_id[2:6]
+        s = attrs["species_codes"].index(code)
+        raw = zlib.decompress(
+            open(os.path.join(store, "biomass", f"{s}.0.0"), "rb").read()
+        )
+        got = np.frombuffer(raw, "<f4").reshape(row.h, row.w)
+        want = codecs.decode(bytes(row.bytes), row.w, row.h, row.fmt)
+        np.testing.assert_array_equal(got, want)
+        assert attrs["_ARRAY_DIMENSIONS"] == ["species", "y", "x"]
+
+    def test_roundtrip_tile_rows_bit_identical(self, spark, tmp_path):
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "rt.zarr")
+        zarrstore.write_zarr_store(tiles, store)
+        back = zarrstore.read_zarr_store(spark, store)
+        a = {
+            r.image_id: (r.phash, r.caption, r.w, r.h)
+            for r in tiles.select("image_id", "phash", "caption", "w", "h").collect()
+        }
+        b = {
+            r.image_id: (r.phash, r.caption, r.w, r.h)
+            for r in back.select("image_id", "phash", "caption", "w", "h").collect()
+        }
+        assert a == b
+
+    def test_raw_uncompressed_store_reads(self, spark, tmp_path):
+        """compressor: null is valid v2 — the scan must handle raw chunks."""
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "raw.zarr")
+        zarrstore.write_zarr_store(tiles, store)
+        adir = os.path.join(store, "biomass")
+        zarray = json.load(open(os.path.join(adir, ".zarray")))
+        for name in os.listdir(adir):
+            if name[0].isdigit():
+                p = os.path.join(adir, name)
+                raw = zlib.decompress(open(p, "rb").read())
+                open(p, "wb").write(raw)
+        zarray["compressor"] = None
+        json.dump(zarray, open(os.path.join(adir, ".zarray"), "w"))
+        back = zarrstore.read_zarr_store(spark, store)
+        assert back.count() == tiles.count()
+
+    def test_unsupported_layouts_rejected(self, spark, tmp_path):
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "bad.zarr")
+        zarrstore.write_zarr_store(tiles, store)
+        adir = os.path.join(store, "biomass")
+        zarray = json.load(open(os.path.join(adir, ".zarray")))
+        zarray["compressor"] = {"id": "blosc", "cname": "lz4"}
+        json.dump(zarray, open(os.path.join(adir, ".zarray"), "w"))
+        with pytest.raises(ValueError, match="compressor"):
+            zarrstore.read_zarr_array_meta(store)
+
+    def test_non_uniform_tiles_rejected(self, spark):
+        a = pxgen.tile_pixels(1, 0, 0, tgen.spec_for_sf_dir(SF_DIR))
+        rows = [
+            ("sp0001_tx000_ty000", bytearray(codecs.encode(a, "rawz")),
+             a.shape[1], a.shape[0], "rawz", "c", 0),
+            ("sp0001_tx001_ty000", bytearray(codecs.encode(a[:16, :16], "rawz")),
+             16, 16, "rawz", "c", 0),
+        ]
+        df = spark.createDataFrame(rows, tgen.TILE_SCHEMA)
+        with pytest.raises(ValueError, match="uniform"):
+            zarrstore.write_zarr_store(df, "/tmp/never.zarr")
