@@ -90,11 +90,23 @@ def _webp_decoder(data: bytes, w: int, h: int) -> np.ndarray:
     return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
 
 
+def _tiff_decoder(data: bytes, w: int, h: int) -> np.ndarray:
+    """Built-in pure-python GeoTIFF decode -> (h, w) float32 (grayscale
+    subset; georeferencing rides in the container, validated upstream)."""
+    from .. import tiff
+
+    arr, _meta = tiff.decode_geotiff(data)
+    if arr.shape != (h, w):
+        raise ValueError(f"TIFF dims {arr.shape} != metadata ({h}, {w})")
+    return arr.astype(np.float32)
+
+
 _DEFAULT_DECODERS: dict[str, Callable[[bytes, int, int], np.ndarray]] = {
     "png": _png_decoder,
     "wav": _wav_decoder,
     "jpeg": _jpeg_decoder,
     "webp": _webp_decoder,
+    "tiff": _tiff_decoder,
 }
 _MEDIA_DECODERS: dict[str, Callable[[bytes, int, int], np.ndarray]] = dict(
     _DEFAULT_DECODERS

@@ -71,10 +71,10 @@ DRIVER_PRIORITY: list[str] = [
     "zorder_layout",
     "table_layout_roundtrip",
     "zarr_store_roundtrip",
+    "geotiff_roundtrip",
     "sink_roundtrip",
     "csv_report_roundtrip",
     "export_manifest",
-    "bbox_validation",
     "streaming_zonal",
     "stateful_monitor",
     "render_layers",

@@ -309,6 +309,94 @@ def netcdf_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return var
 
 
+def _o_geotiff(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    return f"""WITH {osql.val_cte(spec)},
+{osql.tiles_cte(spec)}
+SELECT t.image_id AS image_id,
+       CAST(MIN(p.v) AS DOUBLE) AS vmin,
+       CAST(MAX(p.v) AS DOUBLE) AS vmax,
+       CAST(SUM(p.v) AS DOUBLE) AS vsum,
+       CAST(SUM(CASE WHEN p.v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero,
+       COUNT(*)::BIGINT AS npx,
+       t.xmin AS xmin, t.ymax AS ymax
+FROM val p JOIN tiles t
+  ON p.s = t.s AND p.gx // {tw} = t.tx AND p.gy // {th} = t.ty
+WHERE t.s IN (2, 4)
+GROUP BY t.image_id, t.xmin, t.ymax"""
+
+
+@q("geotiff_roundtrip", _o_geotiff)
+def geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S11 through GENUINE GeoTIFF bytes (ref forest_metrics.py:547-601
+    export / fia_client.py GeoTIFF ingest): each raster tile becomes a
+    real deflate-compressed float32 GeoTIFF with its own affine tiepoint
+    and CRS citation (pure-python codec, gridfia_spark/tiff.py), then is
+    decoded back through the container — pixel stats AND the
+    georeferencing columns (xmin, ymax) are derived from the RE-READ
+    file's GeoTIFF keys, so the oracle gates both the raster payload and
+    the spatial metadata. Two chained map-only stages, no shuffle."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from . import tiff
+    from .constants import CRS, PIX
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    meta = decode.with_tile_meta(tiles).filter(F.col("s").isin([2, 4]))
+    cols = meta.select("image_id", "bytes", "w", "h", "fmt", "xmin", "ymax")
+
+    def transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode(r.bytes, int(r.w), int(r.h), r.fmt)
+                blob = tiff.encode_geotiff(
+                    arr.astype(np.float32), float(r.xmin), float(r.ymax), PIX, CRS
+                )
+                out.append((r.image_id, blob))
+            yield pd.DataFrame(out, columns=["image_id", "tif"])
+
+    media = cols.mapInPandas(transcode, "image_id string, tif binary")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr, m = tiff.decode_geotiff(bytes(r.tif))
+                if m["crs"] != CRS or m["pixel"] != PIX:
+                    raise ValueError(f"georeferencing lost: {m}")
+                vals = arr.astype(np.float64)
+                out.append(
+                    (
+                        r.image_id,
+                        float(vals.min()),
+                        float(vals.max()),
+                        float(vals.sum()),
+                        int((vals > 0).sum()),
+                        vals.size,
+                        float(m["origin"][0]),
+                        float(m["origin"][1]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id", "vmin", "vmax", "vsum", "nonzero", "npx",
+                    "xmin", "ymax",
+                ],
+            )
+
+    return media.mapInPandas(
+        stats,
+        "image_id string, vmin double, vmax double, vsum double, "
+        "nonzero long, npx long, xmin double, ymax double",
+    )
+
+
 def _o_zarr_store(sf_dir: str) -> str:
     from .queries import _o_decode_stats
 

@@ -130,6 +130,27 @@ def write_netcdf(
     return blob
 
 
+def write_geotiff(
+    metric_px: DataFrame, metric: str, width: int, height: int, path: str
+) -> bytes:
+    """S11 physical GeoTIFF export (ref forest_metrics.py:547-601): the
+    metric grid serialized as a genuine single-file GeoTIFF via the
+    pure-python codec (gridfia_spark/tiff.py) — deflate-compressed
+    float32, affine from the engine's transform, CRS citation in the
+    GeoTIFF keys. Single-file export contract like write_netcdf; the
+    distributed raster sink remains metric_to_tiles (one container per
+    tile row). Returns the bytes for round-trip verification."""
+    from .. import tiff
+
+    pdf = metric_px.select("gx", "gy", metric).toPandas()
+    arr = np.zeros((height, width), dtype=np.float32)
+    arr[pdf["gy"].to_numpy(), pdf["gx"].to_numpy()] = pdf[metric].to_numpy()
+    blob = tiff.encode_geotiff(arr, X0, Y0, PIX, CRS)
+    with open(path, "wb") as f:
+        f.write(blob)
+    return blob
+
+
 def write_report_csv(df: DataFrame, path: str) -> None:
     """CSV report sink (S15) — single-file, header, deterministic order."""
     df.toPandas().sort_values(list(df.columns)).to_csv(path, index=False)
