@@ -6,9 +6,10 @@ api.create_zarr / batch_append_species_from_dir become a ``binaryFile`` scan
 union-aggregate across species rows — exactly the accumulation at
 zarr_utils.py:1003-1019.
 
-No rasterio exists in the sandbox, so the on-disk raster format is the
-engine's own codec (raw32/rawz; a GeoTIFF reader drops into ``_decode_file``
-unchanged when the library is present).
+The scan ingests BOTH the engine's own codec files (``.bin``, raw32/rawz)
+and genuine GeoTIFF files (``.tif``) — the latter decoded by the
+pure-python GeoTIFF codec (gridfia_spark/tiff.py), so the reference's
+actual interchange format needs no external library.
 """
 
 from __future__ import annotations
@@ -28,20 +29,25 @@ from ..datagen import pixels as pxgen
 def ingest_raster_dir(
     spark: SparkSession, path: str, tile_w: int, tile_h: int, fmt: str = "rawz"
 ) -> DataFrame:
-    """Scan a directory of encoded raster tiles named
-    ``SPCD_<code>_tx<tx>_ty<ty>.bin`` into the canonical tile table.
+    """Scan a directory of raster tiles named
+    ``SPCD_<code>_tx<tx>_ty<ty>.{bin,tif}`` into the canonical tile table.
 
     Mirrors the filename→species matching of batch_append_species_from_dir
     (zarr_utils.py:821-882) and api.py:370-389: regexp on input_file_name,
-    decode + dimension validation in one vectorized pass."""
+    decode + dimension validation in one vectorized pass. ``.tif`` files
+    are genuine GeoTIFFs decoded via gridfia_spark/tiff.py (S1 literal);
+    ``.bin`` files use the engine codec ``fmt``."""
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.bin")
+        .option("pathGlobFilter", "*.{bin,tif}")
         .load(path)
         .select(
             F.regexp_extract(F.col("path"), r"SPCD_(\d{4})_", 1).alias("code"),
             F.regexp_extract(F.col("path"), r"_tx(\d+)_", 1).cast("int").alias("tx"),
-            F.regexp_extract(F.col("path"), r"_ty(\d+)\.bin$", 1).cast("int").alias("ty"),
+            F.regexp_extract(F.col("path"), r"_ty(\d+)\.(?:bin|tif)$", 1)
+            .cast("int")
+            .alias("ty"),
+            F.col("path"),
             F.col("content"),
         )
         .filter(F.col("code") != "")
@@ -49,10 +55,20 @@ def ingest_raster_dir(
     code_to_name = dict(SPECIES)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .. import tiff
+
         for pdf in batches:
             out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
             for r in pdf.itertuples(index=False):
-                arr = codecs.decode(r.content, tile_w, tile_h, fmt)  # validates dims
+                if r.path.endswith(".tif"):
+                    arr, _meta = tiff.decode_geotiff(bytes(r.content))
+                    if arr.shape != (tile_h, tile_w):
+                        raise ValueError(
+                            f"GeoTIFF dims {arr.shape} != ({tile_h}, {tile_w})"
+                        )
+                    arr = arr.astype(np.float32)
+                else:
+                    arr = codecs.decode(r.content, tile_w, tile_h, fmt)  # validates dims
                 name = code_to_name.get(r.code, "Unknown")
                 out["image_id"].append(f"sp{r.code}_tx{int(r.tx):03d}_ty{int(r.ty):03d}")
                 out["bytes"].append(codecs.encode(arr, fmt))

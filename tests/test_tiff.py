@@ -113,3 +113,38 @@ class TestGeoTiffSink:
         want = {(r.gx, r.gy): r.richness for r in rich.collect()}
         got_sum = float(arr.sum())
         assert got_sum == float(sum(want.values()))
+
+
+class TestGeoTiffIngest:
+    def test_tif_directory_ingests_equal_to_bin(self, spark, tmp_path):
+        """S1 literal: a directory of genuine GeoTIFFs ingests into the
+        same tile rows as the engine-codec .bin layout."""
+        from gridfia_spark import codecs
+        from gridfia_spark.constants import SPECIES, spec_for_sf_dir
+        from gridfia_spark.datagen import pixels as pxgen
+        from gridfia_spark.sources import ingest
+
+        sf = "/root/testdata/sf0.001"
+        spec = spec_for_sf_dir(sf)
+        bin_dir, tif_dir = tmp_path / "bin", tmp_path / "tif"
+        bin_dir.mkdir(), tif_dir.mkdir()
+        code = SPECIES[2][0]
+        for ty in range(spec.tiles_y):
+            for tx in range(spec.tiles_x):
+                arr = pxgen.tile_pixels(2, tx, ty, spec)
+                stem = f"SPCD_{code}_tx{tx:03d}_ty{ty:03d}"
+                (bin_dir / f"{stem}.bin").write_bytes(codecs.encode(arr, "rawz"))
+                (tif_dir / f"{stem}.tif").write_bytes(
+                    tiff.encode_geotiff(
+                        arr.astype(np.float32),
+                        -2_000_000.0 + tx * spec.tile_w * 30.0,
+                        -900_000.0 - ty * spec.tile_h * 30.0,
+                        30.0,
+                        "ESRI:102039",
+                    )
+                )
+        a = ingest.ingest_raster_dir(spark, str(bin_dir), spec.tile_w, spec.tile_h)
+        b = ingest.ingest_raster_dir(spark, str(tif_dir), spec.tile_w, spec.tile_h)
+        pa = {r.image_id: (r.phash, r.caption) for r in a.collect()}
+        pb = {r.image_id: (r.phash, r.caption) for r in b.collect()}
+        assert pa == pb and len(pa) == spec.tiles_x * spec.tiles_y
