@@ -112,6 +112,24 @@ def write_zarr_store(
     return manifest.count()
 
 
+# the reference's array-locating fallbacks (forest_metrics.py:118-196:
+# "biomass", then "data", then "species")
+ARRAY_FALLBACKS = ("biomass", "data", "species")
+
+
+def find_array(path: str) -> str:
+    """Locate the data array inside a zarr group the way the reference's
+    _load_zarr_array does: try the known names in order, else the first
+    child directory holding a .zarray document."""
+    for name in ARRAY_FALLBACKS:
+        if os.path.exists(os.path.join(path, name, ".zarray")):
+            return name
+    for name in sorted(os.listdir(path)):
+        if os.path.exists(os.path.join(path, name, ".zarray")):
+            return name
+    raise ValueError(f"no zarr array found under {path}")
+
+
 def read_zarr_array_meta(path: str, array: str = "biomass") -> tuple[dict, dict]:
     """(.zarray, .zattrs) JSON documents, validated for the supported
     subset (v2, C order, <f4, zlib-or-raw)."""
@@ -134,13 +152,18 @@ def read_zarr_array_meta(path: str, array: str = "biomass") -> tuple[dict, dict]
 
 
 def read_zarr_store(
-    spark: SparkSession, path: str, array: str = "biomass"
+    spark: SparkSession, path: str, array: str | None = None
 ) -> DataFrame:
     """Distributed Zarr v2 scan -> engine tile rows (image_id, bytes, w, h,
     fmt, caption, phash). Chunk indices come from the file NAME (a pure
-    projection; an object-store listing prunes the same way)."""
+    projection; an object-store listing prunes the same way).
+    ``array=None`` locates the data array via the reference's fallback
+    order (biomass -> data -> species)."""
     from ..datagen import pixels as pxgen
     from ..datagen.tiles import TILE_SCHEMA
+
+    if array is None:
+        array = find_array(path)
 
     zarray, attrs = read_zarr_array_meta(path, array)
     _, th, tw = (int(c) for c in zarray["chunks"])

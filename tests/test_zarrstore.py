@@ -100,3 +100,23 @@ class TestZarrStore:
         df = spark.createDataFrame(rows, tgen.TILE_SCHEMA)
         with pytest.raises(ValueError, match="uniform"):
             zarrstore.write_zarr_store(df, "/tmp/never.zarr")
+
+
+class TestArrayDiscovery:
+    def test_fallback_names(self, spark, tmp_path):
+        """read_zarr_store(array=None) locates the data array via the
+        reference's fallback order (biomass -> data -> species)."""
+        import shutil
+
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "f.zarr")
+        zarrstore.write_zarr_store(tiles, store)
+        assert zarrstore.find_array(store) == "biomass"
+        shutil.move(os.path.join(store, "biomass"), os.path.join(store, "data"))
+        assert zarrstore.find_array(store) == "data"
+        n = zarrstore.read_zarr_store(spark, store).count()
+        assert n == tiles.count()
+        shutil.move(os.path.join(store, "data"), os.path.join(store, "custom0"))
+        assert zarrstore.find_array(store) == "custom0"
+        with pytest.raises(ValueError, match="no zarr array"):
+            zarrstore.find_array(str(tmp_path))
