@@ -90,6 +90,31 @@ def run_bench() -> dict:
         t0 = time.time()
         n_images = flagship_job(spark, SF_DIR)
         runs.append(time.time() - t0)
+
+    # Zarr store create/scan throughput — the apples-to-apples row against
+    # the reference's own baseline table ("create zarr 289 M px in 45 s",
+    # zarr-construction.md:204): genuine v2 chunk files, distributed write
+    # (best-of-2; the store is rewritten each run)
+    import shutil
+
+    from gridfia_spark.sources import zarrstore
+
+    store = os.path.join(tgen.CACHE_ROOT, "bench_zarr.zarr")
+    tiles = tgen.ensure_tiles(spark, SF_DIR)
+    row0 = tiles.select("w", "h").first()
+    zarr_create = zarr_scan = float("inf")
+    n_chunks = 0
+    for _ in range(2):
+        shutil.rmtree(store, ignore_errors=True)
+        t0 = time.time()
+        n_chunks = zarrstore.write_zarr_store(tiles, store)
+        zarr_create = min(zarr_create, time.time() - t0)
+        t0 = time.time()
+        zarrstore.read_zarr_store(spark, store).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        zarr_scan = min(zarr_scan, time.time() - t0)
+    zarr_px = n_chunks * int(row0.w) * int(row0.h)
     spark.stop()
     flagship_s = sorted(runs)[len(runs) // 2]
     result = {
@@ -105,6 +130,11 @@ def run_bench() -> dict:
         "flagship_best_sec": round(min(runs), 3),
         "flagship_runs_sec": [round(t, 3) for t in runs],
         "cpus": CPUS,
+        "zarr_create_sec": round(zarr_create, 3),
+        "zarr_create_px_per_sec": round(zarr_px / zarr_create, 1),
+        "zarr_scan_sec": round(zarr_scan, 3),
+        "zarr_scan_px_per_sec": round(zarr_px / zarr_scan, 1),
+        "zarr_px": zarr_px,
     }
     # recorded N->4N evidence from the last full `python bench.py --scaling`
     # run (~10 min; methodology + host calibration in BENCH/BASELINE.md) —
