@@ -78,6 +78,14 @@ class TestPlanShapes:
                 assert not re.search(r"\], \[\s*\], \[", line), line
         assert plan.count("Exchange SinglePartition") <= 1
 
+    def test_container_roundtrips_are_map_only(self, spark):
+        """PLANS.md §14 extension: the GeoTIFF transcode chain and the
+        Zarr chunk scan are map-only — container bytes never cross a
+        shuffle; the only broadcast is the species-code dimension."""
+        for name in ("geotiff_roundtrip", "zarr_store_roundtrip"):
+            plan = _plan(spark, name)
+            assert _hash_exchanges(plan) == 0, name
+
     def test_zonal_percentiles_has_no_buffering_aggregate(self, spark):
         """PLANS.md §11: histogram percentiles — no `percentile(` aggregate
         (which buffers a group's value population) anywhere in the plan."""
