@@ -152,13 +152,19 @@ def read_zarr_array_meta(path: str, array: str = "biomass") -> tuple[dict, dict]
 
 
 def read_zarr_store(
-    spark: SparkSession, path: str, array: str | None = None
+    spark: SparkSession,
+    path: str,
+    array: str | None = None,
+    species: list[int] | None = None,
 ) -> DataFrame:
     """Distributed Zarr v2 scan -> engine tile rows (image_id, bytes, w, h,
     fmt, caption, phash). Chunk indices come from the file NAME (a pure
     projection; an object-store listing prunes the same way).
     ``array=None`` locates the data array via the reference's fallback
-    order (biomass -> data -> species)."""
+    order (biomass -> data -> species). ``species=[...]`` prunes at the
+    LISTING level (chunk names start with the layer index — the Zarr
+    analogue of partition pruning: non-matching chunk files are never
+    opened, the P1/P2 layer slice for free)."""
     from ..datagen import pixels as pxgen
     from ..datagen.tiles import TILE_SCHEMA
 
@@ -174,9 +180,15 @@ def read_zarr_store(
         i: (c, names.get(c, c))
         for i, c in enumerate(stored_codes or [c for c, _ in SPECIES])
     }
+    if species is None:
+        glob = "[0-9]*"
+    elif len(species) == 1:
+        glob = f"{int(species[0])}.*"
+    else:
+        glob = "{" + ",".join(str(int(s)) for s in sorted(set(species))) + "}.*"
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "[0-9]*")
+        .option("pathGlobFilter", glob)
         .load(os.path.join(path, array))
         .select("path", "content")
     )

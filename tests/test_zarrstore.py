@@ -120,3 +120,28 @@ class TestArrayDiscovery:
         assert zarrstore.find_array(store) == "custom0"
         with pytest.raises(ValueError, match="no zarr array"):
             zarrstore.find_array(str(tmp_path))
+
+
+class TestLayerPruning:
+    def test_species_filter_prunes_files_at_listing(self, spark, tmp_path):
+        """species=[...] is the Zarr analogue of partition pruning: chunk
+        files of other layers are never even opened."""
+        from gridfia_spark.constants import spec_for_sf_dir
+
+        spec = spec_for_sf_dir(SF_DIR)
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "p.zarr")
+        zarrstore.write_zarr_store(tiles, store)
+        one = zarrstore.read_zarr_store(spark, store, species=[1])
+        per_layer = spec.tiles_x * spec.tiles_y
+        assert len(one.inputFiles()) == per_layer  # pruned at listing
+        from gridfia_spark.constants import SPECIES
+
+        rows = one.collect()
+        assert len(rows) == per_layer
+        assert all(r.image_id.startswith(f"sp{SPECIES[1][0]}") for r in rows)
+        two = zarrstore.read_zarr_store(spark, store, species=[2, 4])
+        assert len(two.inputFiles()) == 2 * per_layer
+        assert {r.image_id[:6] for r in two.collect()} == {
+            f"sp{SPECIES[2][0]}", f"sp{SPECIES[4][0]}"
+        }
