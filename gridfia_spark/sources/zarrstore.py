@@ -192,6 +192,14 @@ def read_zarr_store(
         .load(os.path.join(path, array))
         .select("path", "content")
     )
+    # chunk files are tiny (a zlib tile each) but the default open-cost
+    # packing schedules ~one file per task — at 10^5 chunks that is pure
+    # scheduler overhead. A NARROW coalesce (no shuffle, plan stays
+    # map-only) packs many chunks per task; 4x parallelism keeps AQE-free
+    # balance even with skewed chunk sizes.
+    target = spark.sparkContext.defaultParallelism * 4
+    if files.rdd.getNumPartitions() > target:
+        files = files.coalesce(target)
 
     def rd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
