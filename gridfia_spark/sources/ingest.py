@@ -52,6 +52,12 @@ def ingest_raster_dir(
         )
         .filter(F.col("code") != "")
     )
+    # small raster files + default open-cost packing = ~one task per file;
+    # a NARROW coalesce (no shuffle) packs many files per task — the same
+    # 10x planning fix as the Zarr chunk scan (BENCH/BASELINE.md round 4)
+    target = spark.sparkContext.defaultParallelism * 4
+    if files.rdd.getNumPartitions() > target:
+        files = files.coalesce(target)
     code_to_name = dict(SPECIES)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
