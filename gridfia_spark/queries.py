@@ -71,6 +71,7 @@ DRIVER_PRIORITY: list[str] = [
     "zorder_layout",
     "table_layout_roundtrip",
     "zarr_store_roundtrip",
+    "zarr_layer_slice",
     "geotiff_roundtrip",
     "sink_roundtrip",
     "csv_report_roundtrip",

@@ -432,6 +432,41 @@ def zarr_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_zarr_slice(sf_dir: str) -> str:
+    from .queries_products import _o_png_stats
+
+    return _o_png_stats(sf_dir)
+
+
+@q("zarr_layer_slice", _o_zarr_slice)
+def zarr_layer_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 layer slice executed as STORAGE pruning (ref zarr_utils.py:
+    530-556 ``biomass[idx]``): the species filter compiles into a
+    pathGlobFilter over Zarr chunk NAMES, so chunks of other layers are
+    never opened — asserted in-query via inputFiles(). Stats of the two
+    selected layers must equal the exact pixel oracle."""
+    import os as _os
+    import shutil as _sh
+
+    from .sources import zarrstore
+
+    spec = spec_for_sf_dir(sf_dir)
+    store = _cache(sf_dir, "zarrslice") + ".zarr"
+    marker = _os.path.join(store, "_DONE")
+    if not _os.path.exists(marker):
+        _sh.rmtree(store, ignore_errors=True)
+        tiles = tgen.ensure_tiles(spark, sf_dir)
+        zarrstore.write_zarr_store(tiles, store)
+        open(marker, "w").close()
+    back = zarrstore.read_zarr_store(spark, store, species=[1, 3])
+    n_files = len(back.inputFiles())
+    per_layer = spec.tiles_x * spec.tiles_y
+    assert n_files == 2 * per_layer, f"pruning failed: {n_files} files listed"
+    return decode.decode_stats(back).select(
+        "image_id", "vmin", "vmax", "vsum", "nonzero", "npx"
+    )
+
+
 def _o_netcdf_container(sf_dir: str) -> str:
     spec = spec_for_sf_dir(sf_dir)
     return f"""WITH {osql.val_cte(spec)},
