@@ -41,12 +41,17 @@ class CalculationConfig:
 
 @dataclass
 class AnalysisConfig:
-    """A full analysis document (ref config_templates.py:59-133)."""
+    """A full analysis document (ref config_templates.py:59-133). ``bbox``
+    is the location-config scoping (ref location_config.py:44-102 /
+    montana_config.py): when set, the run covers only tiles overlapping
+    [xmin, ymin, xmax, ymax] in the engine CRS — the P7 rectangle
+    prefilter, which Iceberg min-max pruning executes for free."""
 
     name: str = "custom_analysis"
     description: str = "Custom forest analysis configuration"
     output_dir: str = "output/custom_analysis"
     fmt: str = "rawz"
+    bbox: list[float] | None = None
     calculations: list[CalculationConfig] = field(default_factory=list)
 
 
@@ -96,6 +101,7 @@ def to_dict(cfg: AnalysisConfig) -> dict[str, Any]:
         "description": cfg.description,
         "output_dir": cfg.output_dir,
         "fmt": cfg.fmt,
+        "bbox": cfg.bbox,
         "calculations": [
             {
                 "name": c.name,
@@ -127,11 +133,13 @@ def load_config(path: str) -> AnalysisConfig:
         )
         for c in doc.get("calculations", [])
     ]
+    bbox = doc.get("bbox")
     return AnalysisConfig(
         name=doc.get("name", "custom_analysis"),
         description=doc.get("description", ""),
         output_dir=doc.get("output_dir", "output"),
         fmt=doc.get("fmt", "rawz"),
+        bbox=list(bbox) if bbox is not None else None,
         calculations=calcs,
     )
 
@@ -142,6 +150,11 @@ def validate_config(cfg: AnalysisConfig) -> list[str]:
     errs = []
     if not cfg.name:
         errs.append("name must be non-empty")
+    if cfg.bbox is not None:
+        if len(cfg.bbox) != 4:
+            errs.append("bbox must be [xmin, ymin, xmax, ymax]")
+        elif not (cfg.bbox[0] < cfg.bbox[2] and cfg.bbox[1] < cfg.bbox[3]):
+            errs.append("bbox must satisfy xmin < xmax and ymin < ymax")
     if not cfg.calculations:
         errs.append("no calculations configured")
     seen: set[str] = set()
@@ -179,6 +192,21 @@ def run_analysis(
     enabled = [c for c in cfg.calculations if c.enabled]
     if not enabled:
         return {}
+    if cfg.bbox is not None:
+        # location scoping (P7): keep tiles whose rect overlaps the bbox —
+        # pure range predicates on the tile metadata, prunable by storage
+        from pyspark.sql import functions as F
+
+        from .operators import decode as _decode
+
+        bx0, by0, bx1, by1 = cfg.bbox
+        meta = _decode.with_tile_meta(tiles)
+        tiles = meta.filter(
+            (F.col("xmin") < bx1)
+            & (F.col("xmax") > bx0)
+            & (F.col("ymin") < by1)
+            & (F.col("ymax") > by0)
+        ).select(*tiles.columns)
     api = GridFIASpark(spark)
     calc_args: list[dict[str, Any]] = [
         {"name": c.name, "output_name": c.out, **c.parameters} for c in enabled

@@ -97,3 +97,61 @@ class TestConsole:
         doc["calculations"][0]["name"] = "bogus"
         open(path, "w").write(json.dumps(doc))
         assert console.main(["validate", path]) == 1
+
+
+class TestLocationBbox:
+    def test_bbox_scoped_run(self, spark, tmp_path):
+        """Location-config scoping (ref location_config.py:44-102): a bbox
+        covering the west half of the grid runs the same calculations over
+        only the overlapping tiles."""
+        from gridfia_spark import config as C
+        from gridfia_spark.constants import PIX, X0, Y0, spec_for_sf_dir
+        from gridfia_spark.datagen import tiles as tgen
+
+        sf = "/root/testdata/sf0.001"
+        spec = spec_for_sf_dir(sf)
+        w_m, h_m = spec.gw * PIX, spec.gh * PIX
+        cfg = C.create_config_template("west", ["species_richness"])
+        cfg.output_dir = str(tmp_path / "west")
+        cfg.bbox = [X0, Y0 - h_m, X0 + w_m / 2, Y0]
+        cfg.calculations[0].output_format = "none"
+        tiles = tgen.ensure_tiles(spark, sf)
+        out = C.run_analysis(spark, tiles, cfg)["richness"]
+        # only pixels of the west-half tiles appear
+        assert out.count() == (spec.gw // 2) * spec.gh
+        assert out.agg({"gx": "max"}).first()[0] == spec.gw // 2 - 1
+        # full-grid run for comparison
+        cfg2 = C.create_config_template("all", ["species_richness"])
+        cfg2.output_dir = str(tmp_path / "all")
+        cfg2.calculations[0].output_format = "none"
+        full = C.run_analysis(spark, tiles, cfg2)["richness"]
+        west = {(r.gx, r.gy): r.richness for r in out.collect()}
+        ref = {
+            (r.gx, r.gy): r.richness
+            for r in full.collect()
+            if r.gx < spec.gw // 2
+        }
+        assert west == ref
+
+    def test_bbox_validation(self):
+        from gridfia_spark import config as C
+
+        cfg = C.create_config_template("x", ["species_richness"])
+        cfg.bbox = [0.0, 0.0, -1.0, 1.0]
+        assert any("bbox" in e for e in C.validate_config(cfg))
+        cfg.bbox = [1.0, 2.0, 3.0]
+        assert any("bbox" in e for e in C.validate_config(cfg))
+        cfg.bbox = [0.0, 0.0, 1.0, 1.0]
+        assert not any("bbox" in e for e in C.validate_config(cfg))
+
+    def test_bbox_json_roundtrip(self, tmp_path):
+        from gridfia_spark import config as C
+
+        cfg = C.create_config_template("rt", ["species_richness"])
+        cfg.bbox = [1.0, 2.0, 3.0, 4.0]
+        path = str(tmp_path / "c.json")
+        C.save_config(cfg, path)
+        assert C.load_config(path).bbox == [1.0, 2.0, 3.0, 4.0]
+        cfg.bbox = None
+        C.save_config(cfg, path)
+        assert C.load_config(path).bbox is None
