@@ -197,9 +197,17 @@ def read_netcdf3(
     dict,
     dict[str, dict],
 ]:
-    """Inverse of write_netcdf3: (dims, variables, global_attrs, var_attrs)."""
+    """Inverse of write_netcdf3: (dims, variables, global_attrs, var_attrs).
+    Truncated or corrupt input raises ValueError (never struct.error)."""
     if buf[:4] != _MAGIC:
         raise ValueError("not a NetCDF-3 classic (CDF-1) file")
+    try:
+        return _read_netcdf3(buf)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated or corrupt NetCDF-3 file: {e}") from e
+
+
+def _read_netcdf3(buf: bytes):
     pos = 4
     (numrecs,) = struct.unpack_from(">i", buf, pos)
     pos += 4

@@ -170,6 +170,13 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
         e = ">"
     else:
         raise ValueError("not a TIFF (bad byte-order mark)")
+    try:
+        return _decode_geotiff(data, e)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"truncated or corrupt TIFF: {exc}") from exc
+
+
+def _decode_geotiff(data: bytes, e: str) -> tuple[np.ndarray, dict]:
     magic, ifd_off = struct.unpack_from(f"{e}HI", data, 2)
     if magic != 42:
         raise ValueError("not a TIFF (bad magic)")

@@ -93,6 +93,8 @@ class BitReader:
         self._pos = 0  # bit position
 
     def read(self, nbits: int) -> int:
+        if self._pos + nbits > len(self._data) * 8:
+            raise ValueError("truncated VP8L stream")
         v = 0
         for i in range(nbits):
             byte = self._data[(self._pos + i) >> 3]
@@ -101,6 +103,8 @@ class BitReader:
         return v
 
     def read_bit(self) -> int:
+        if self._pos >= len(self._data) * 8:
+            raise ValueError("truncated VP8L stream")
         byte = self._data[self._pos >> 3]
         bit = (byte >> (self._pos & 7)) & 1
         self._pos += 1

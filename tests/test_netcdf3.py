@@ -110,3 +110,12 @@ class TestNetcdf3:
         arr = np.array(vals, dtype=dt).reshape(h, w)
         _, (dims, vars_, _, _) = _roundtrip({"y": h, "x": w}, {"v": (("y", "x"), arr)})
         np.testing.assert_array_equal(vars_["v"][1], arr)
+
+
+def test_truncation_raises_valueerror_only():
+    blob = netcdf3.write_netcdf3(
+        {"x": 4}, {"x": (("x",), np.arange(4.0))}, {"a": "b"}
+    )
+    for k in range(len(blob)):
+        with pytest.raises(ValueError):
+            netcdf3.read_netcdf3(blob[:k])

@@ -148,3 +148,12 @@ class TestGeoTiffIngest:
         pa = {r.image_id: (r.phash, r.caption) for r in a.collect()}
         pb = {r.image_id: (r.phash, r.caption) for r in b.collect()}
         assert pa == pb and len(pa) == spec.tiles_x * spec.tiles_y
+
+
+def test_truncation_raises_valueerror_only():
+    blob = _enc(np.arange(16, dtype=np.uint8).reshape(4, 4))
+    for k in range(2, len(blob)):
+        try:
+            tiff.decode_geotiff(blob[:k])
+        except ValueError:
+            pass  # the only acceptable failure mode

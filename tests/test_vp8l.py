@@ -118,3 +118,12 @@ class TestVp8l:
         palette = rng.integers(0, 256, nvals)
         arr = palette[rng.integers(0, nvals, (h, w))].astype(np.uint8)
         assert np.array_equal(_rt(arr), arr)
+
+
+def test_truncation_raises_valueerror_only():
+    blob = vp8l.encode_gray(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    for k in range(len(blob)):
+        try:
+            vp8l.decode(blob[:k])
+        except ValueError:
+            pass  # the only acceptable failure mode
