@@ -72,6 +72,26 @@ class GridFIASpark:
 
         return ingest.validate_tile_table(tiles)
 
+    def create_zarr(
+        self, input_dir: str, output_path: str, tile_w: int, tile_h: int
+    ) -> int:
+        """The reference's full ETL entry point, literal (api.create_zarr /
+        zarr_utils.create_zarr_from_geotiffs, SURVEY §3.3): a directory of
+        raster tiles (genuine .tif or engine .bin) -> ingest + total-layer
+        accumulation -> a genuine Zarr v2 store at ``output_path``
+        (distributed chunk writes). Returns the number of chunks."""
+        from .sources import zarrstore
+
+        tiles = self.ingest_directory(input_dir, tile_w, tile_h)
+        return zarrstore.write_zarr_store(tiles, output_path)
+
+    def load_zarr(self, path: str, species: list[int] | None = None) -> DataFrame:
+        """Zarr store scan -> tile table (S5 literal), with optional
+        listing-level layer pruning."""
+        from .sources import zarrstore
+
+        return zarrstore.read_zarr_store(self.spark, path, species=species)
+
     # ----------------------------------------------------------- analytics
     def calculate_metrics(
         self,

@@ -177,3 +177,42 @@ class TestDriverSampleOrder:
         assert all(n in oracled for n in head)
         # registry() and oracles() agree on the ordering
         assert [n for n in Q.registry() if n in oracled] == list(oracled)
+
+
+class TestCreateZarr:
+    def test_create_and_load_zarr_lifecycle(self, spark, tmp_path):
+        """§3.3 literal: GeoTIFF dir -> create_zarr -> load_zarr round trip,
+        total layer included."""
+        import numpy as np
+
+        from gridfia_spark import tiff
+        from gridfia_spark.api import GridFIASpark
+        from gridfia_spark.constants import PIX, SPECIES, X0, Y0, spec_for_sf_dir
+        from gridfia_spark.datagen import pixels as pxgen
+
+        sf = "/root/testdata/sf0.001"
+        spec = spec_for_sf_dir(sf)
+        src = tmp_path / "tifs"
+        src.mkdir()
+        for s in (1, 2):
+            code = SPECIES[s][0]
+            for ty in range(spec.tiles_y):
+                for tx in range(spec.tiles_x):
+                    arr = pxgen.tile_pixels(s, tx, ty, spec).astype(np.float32)
+                    (src / f"SPCD_{code}_tx{tx:03d}_ty{ty:03d}.tif").write_bytes(
+                        tiff.encode_geotiff(
+                            arr, X0 + tx * spec.tile_w * PIX,
+                            Y0 - ty * spec.tile_h * PIX, PIX, "ESRI:102039",
+                        )
+                    )
+        api = GridFIASpark(spark)
+        store = str(tmp_path / "cube.zarr")
+        per_layer = spec.tiles_x * spec.tiles_y
+        n = api.create_zarr(str(src), store, spec.tile_w, spec.tile_h)
+        assert n == 3 * per_layer  # 2 species + accumulated total layer
+        back = api.load_zarr(store)
+        assert back.count() == 3 * per_layer
+        total_only = api.load_zarr(store, species=[0])
+        rows = total_only.collect()
+        assert len(rows) == per_layer
+        assert all(r.image_id.startswith("sp0000") for r in rows)
