@@ -73,9 +73,8 @@ DRIVER_PRIORITY: list[str] = [
     "zarr_store_roundtrip",
     "zarr_layer_slice",
     "geotiff_roundtrip",
+    "geotiff_ingest",
     "sink_roundtrip",
-    "csv_report_roundtrip",
-    "export_manifest",
     "streaming_zonal",
     "stateful_monitor",
     "render_layers",
@@ -85,7 +84,6 @@ DRIVER_PRIORITY: list[str] = [
     "asof_events",
     "range_join_tiers",
     "dedup_components",
-    "moving_avg_events",
     "tpch_q7",
     "bootstrap_ci",
     "min_cost_supplier",

@@ -397,6 +397,62 @@ def geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_geotiff_ingest(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    return f"""WITH {osql.val_cte(spec)},
+{osql.tiles_cte(spec)}
+SELECT t.image_id AS image_id,
+       CAST(MIN(p.v) AS DOUBLE) AS vmin,
+       CAST(MAX(p.v) AS DOUBLE) AS vmax,
+       CAST(SUM(p.v) AS DOUBLE) AS vsum,
+       CAST(SUM(CASE WHEN p.v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero,
+       COUNT(*)::BIGINT AS npx
+FROM val p JOIN tiles t
+  ON p.s = t.s AND p.gx // {tw} = t.tx AND p.gy // {th} = t.ty
+WHERE t.s = 2
+GROUP BY t.image_id"""
+
+
+@q("geotiff_ingest", _o_geotiff_ingest)
+def geotiff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 literal under the driver gate: a directory of GENUINE GeoTIFF
+    files (materialized once per scale from the deterministic pixel math,
+    each with its own affine tiepoint) ingested through
+    ingest.ingest_raster_dir's .tif path — per-tile stats of the ingested
+    rows must equal the exact pixel oracle."""
+    from . import tiff
+    from .constants import CRS, PIX, X0, Y0
+
+    spec = spec_for_sf_dir(sf_dir)
+    root = _cache(sf_dir, "geotiff_ingest")
+    marker = os.path.join(root, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        code = SPECIES[2][0]
+        import numpy as np
+
+        for ty in range(spec.tiles_y):
+            for tx in range(spec.tiles_x):
+                arr = pxgen.tile_pixels(2, tx, ty, spec).astype(np.float32)
+                blob = tiff.encode_geotiff(
+                    arr,
+                    X0 + tx * spec.tile_w * PIX,
+                    Y0 - ty * spec.tile_h * PIX,
+                    PIX,
+                    CRS,
+                )
+                fn = os.path.join(root, f"SPCD_{code}_tx{tx:03d}_ty{ty:03d}.tif")
+                with open(fn, "wb") as fh:
+                    fh.write(blob)
+        open(marker, "w").close()
+    table = ingest.ingest_raster_dir(spark, root, spec.tile_w, spec.tile_h)
+    return decode.decode_stats(table).select(
+        "image_id", "vmin", "vmax", "vsum", "nonzero", "npx"
+    )
+
+
 def _o_zarr_store(sf_dir: str) -> str:
     from .queries import _o_decode_stats
 
