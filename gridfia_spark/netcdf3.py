@@ -45,7 +45,20 @@ _KIND_TO_NC = {"i1": 1, "S1": 2, "i2": 3, "i4": 4, "f4": 5, "f8": 6}
 
 def _nc_type_of(arr: np.ndarray) -> int:
     dt = arr.dtype
-    if dt.kind in "iu":
+    if dt.kind == "u":
+        # classic NetCDF has only SIGNED external types: widen unsigned to
+        # the next larger signed type so every value survives (u1 -> i2,
+        # u2 -> i4); u4/u8 get the same value-range check as int64 — the
+        # "refuse loudly" contract, never a silent wraparound
+        if dt.itemsize == 1:
+            key = "i2"
+        elif dt.itemsize == 2:
+            key = "i4"
+        else:
+            if arr.size and int(arr.max()) > 2**31 - 1:
+                raise ValueError(f"{dt} values exceed NC_INT range")
+            key = "i4"
+    elif dt.kind == "i":
         if dt.itemsize <= 1:
             key = "i1"
         elif dt.itemsize <= 2:
@@ -53,7 +66,7 @@ def _nc_type_of(arr: np.ndarray) -> int:
         elif dt.itemsize <= 4:
             key = "i4"
         else:
-            # int64 has no classic external type; widen to double only if
+            # int64 has no classic external type; narrow to NC_INT only if
             # values survive, else refuse loudly
             a = arr.astype(np.int64)
             if a.size and (a.max() > 2**31 - 1 or a.min() < -(2**31)):

@@ -34,22 +34,74 @@ def q(name: str, oracle: Callable[[str], str] | None):
 
 
 # Driver-facing ordering: the driver's correctness snapshot samples the
-# FIRST 50 registry entries, so the curated head lists the newest /
-# most load-bearing operator families (every round-2-late and round-3
-# query that had never appeared in a driver snapshot, plus the flagship
-# core). scripts/check_correctness.py always runs the full registry, so
-# nothing is ever dropped from the local gate.
+# FIRST 50 registry entries. The head rotates per round so every family
+# accumulates fresh driver evidence: the r4 snapshot covered the newest
+# operator families, so the r5 head front-loads (a) the round-5 additions
+# and (b) every query ABSENT from the r04 sample (their last driver rows
+# were r2/r3-era). scripts/check_correctness.py always runs the full
+# registry, so nothing is ever dropped from the local gate.
 DRIVER_PRIORITY: list[str] = [
-    # flagship + core geospatial
+    # round-5 additions (no driver row yet)
+    "zarr_v3_roundtrip",
+    "zarr_append_layer",
+    # oldest-evidence queries — absent from the r04 sample (VERDICT r4 §3)
+    "knn_points",
+    "caption_check",
+    "diversity_pixel",
+    "proportion_pixel",
+    "rare_common_global",
+    "rare_common_global_thresholded",
+    "rare_common_tile_scope",
+    "dominance_global",
+    "species_presence_stats",
+    "top_species_by_coverage",
+    "percentile_stretch",
+    "point_biomass_lookup",
+    "clip_tile_sums",
+    "zonal_rollup",
+    "zonal_pivot",
+    "morans_i",
+    "sample_diversity",
+    "bh_fdr",
+    "cliffs_delta",
+    "mann_whitney",
+    "cohens_d",
+    "permutation_test",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "segment_revenue",
+    "user_sessions",
+    "session_windows",
+    "top_event_users",
+    "moving_avg_events",
+    "dedup_exact",
+    "token_stats",
+    "doc_fingerprint",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_portable",
+    "lang_id",
+    "clean_corpus",
+    "embedding_norms",
+    "cosine_topk",
+    "ann_recall",
+    "embedding_cosine_dedup",
+    "ingest_roundtrip",
+    "csv_report_roundtrip",
+    "export_manifest",
+    "bbox_validation",
+    "netcdf_coords",
+    "netcdf_variable",
+    # --- 50-sample boundary (everything below has green r04 driver rows;
+    # the full local gate still runs all of it every round) ---
     "zonal_total_biomass",
     "pip_points",
     "metrics_pixel",
     "tile_decode_stats",
-    # round-4 additions
     "zonal_skewed",
     "config_run",
     "netcdf_container",
-    # round-3 flagships and round-2-late queries (never driver-sampled)
     "jpeg_tile_stats",
     "webp_tile_stats",
     "png_tile_stats",

@@ -523,6 +523,76 @@ def zarr_layer_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("zarr_v3_roundtrip", _o_zarr_store)
+def zarr_v3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S12 through the reference's ACTUAL on-disk dialect — Zarr v3
+    (zarr_utils.py:698-745: ``zarr.open_group`` v3 API): per-node
+    ``zarr.json`` metadata, ``c/s/ty/tx`` default chunk keys, spec
+    bytes+gzip codec chain, reference-layout root attrs (crs / Affine-order
+    transform / bounds / num_species / species lists). Distributed chunk
+    write -> auto-detected distributed scan back -> per-tile decode stats
+    against the same exact pixel oracle as the v2 roundtrip, so the v3
+    write+scan must be bit-lossless too."""
+    import json as _json
+    import shutil as _sh
+
+    from .sources import zarrstore
+
+    spec = spec_for_sf_dir(sf_dir)
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    store = _cache(sf_dir, "zarrv3") + ".zarr"
+    _sh.rmtree(store, ignore_errors=True)
+    n = zarrstore.write_zarr_store(tiles, store, zarr_format=3)
+    assert n == len(SPECIES) * spec.tiles_x * spec.tiles_y, n
+    assert zarrstore.detect_zarr_format(store) == 3
+    m = zarrstore.zarr_meta(store)
+    assert m.version == 3 and m.compressor == "gzip"
+    assert m.chunks == [1, spec.tile_h, spec.tile_w]
+    assert m.shape == [len(SPECIES), spec.gh, spec.gw]
+    # reference-layout root attrs: Affine order (a,b,c,d,e,f)
+    with open(os.path.join(store, "zarr.json")) as fh:
+        rattrs = _json.load(fh)["attributes"]
+    assert rattrs["transform"][0] == 30.0 and rattrs["transform"][2] == -2_000_000.0
+    assert rattrs["num_species"] == len(SPECIES)
+    back = zarrstore.read_zarr_store(spark, store)
+    return decode.decode_stats(back).select(
+        "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
+    )
+
+
+@q("zarr_append_layer", _o_zarr_store)
+def zarr_append_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 in-place lifecycle against a PERSISTED store (ref
+    append_species_to_zarr, zarr_utils.py:754-818): create a v3 store
+    missing the last species, then append that species' tiles as a new
+    layer — distributed chunk writes for the new layer only, driver-side
+    metadata update, alignment validated the reference's way
+    (transform/bounds allclose). The full re-read store must match the
+    same all-layers pixel oracle, so the append is gated end to end."""
+    import shutil as _sh
+
+    from .sources import zarrstore
+
+    spec = spec_for_sf_dir(sf_dir)
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    last_code, last_name = SPECIES[-1]
+    store = _cache(sf_dir, "zarrappend") + ".zarr"
+    _sh.rmtree(store, ignore_errors=True)
+    base = tiles.filter(~F.col("image_id").startswith(f"sp{last_code}"))
+    extra = tiles.filter(F.col("image_id").startswith(f"sp{last_code}"))
+    zarrstore.write_zarr_store(base, store, zarr_format=3)
+    assert zarrstore.zarr_meta(store).shape[0] == len(SPECIES) - 1
+    idx = zarrstore.append_layer(extra, store, last_code, last_name)
+    assert idx == len(SPECIES) - 1, idx
+    m = zarrstore.zarr_meta(store)
+    assert m.shape[0] == len(SPECIES) and m.attrs["num_species"] == len(SPECIES)
+    assert m.attrs["species_codes"][-1] == last_code
+    back = zarrstore.read_zarr_store(spark, store)
+    return decode.decode_stats(back).select(
+        "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
+    )
+
+
 def _o_netcdf_container(sf_dir: str) -> str:
     spec = spec_for_sf_dir(sf_dir)
     return f"""WITH {osql.val_cte(spec)},

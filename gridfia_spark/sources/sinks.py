@@ -108,9 +108,12 @@ def write_netcdf(
 
     pdf = metric_px.select("gx", "gy", metric).toPandas()
     vals = pdf[metric].to_numpy()
+    # integer metrics stage as int64 so netcdf3's validated narrow-to-NC_INT
+    # runs (an int32 grid here would wrap out-of-range values silently
+    # BEFORE the codec's range check could refuse)
     arr = np.zeros(
         (height, width),
-        dtype=np.int32 if np.issubdtype(vals.dtype, np.integer) else np.float64,
+        dtype=np.int64 if np.issubdtype(vals.dtype, np.integer) else np.float64,
     )
     arr[pdf["gy"].to_numpy(), pdf["gx"].to_numpy()] = vals
     x = X0 + np.arange(width, dtype=np.float64) * PIX

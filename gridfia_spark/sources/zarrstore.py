@@ -1,31 +1,55 @@
-"""Genuine Zarr v2 directory store: distributed chunk write + scan.
+"""Genuine Zarr directory store (v2 AND v3): distributed chunk write + scan.
 
 The reference's core storage abstraction IS a Zarr cube — a (species, y, x)
 float32 array chunked (1, chunk_h, chunk_w) (zarr_utils.py:259-320, chunks
-at :280). The engine's tile rows map 1:1 to those chunks, so the store can
-be written and read with nothing but the public Zarr v2 spec
-(zarr-specs v2: ``.zgroup``/``.zarray``/``.zattrs`` JSON + one file per
-chunk named ``i.j.k``, raw C-order bytes through the named compressor):
+at :280; the v3 API create path at :698-745). The engine's tile rows map
+1:1 to those chunks, so the store can be written and read with nothing but
+the public Zarr specs:
+
+- **v2** (zarr-specs v2): ``.zgroup``/``.zarray``/``.zattrs`` JSON + one
+  file per chunk named ``s.ty.tx``, raw C-order bytes through the named
+  compressor (stdlib zlib here — a first-class registered v2 codec id).
+- **v3** (zarr-specs v3, the dialect the reference's ``zarr.open_group``
+  writes): a single ``zarr.json`` per node (group and array), chunks under
+  the default chunk-key encoding ``c/<s>/<ty>/<tx>`` with ``/`` separator,
+  through the spec's ``bytes`` (little-endian) + ``gzip`` codec chain.
+  The reference's own stores use the Blosc codec
+  (``zarr.codecs.BloscCodec``, zarr_utils.py:702-705) — Blosc **frame
+  decode is a documented read gap** (no blosc library in this environment;
+  the reader rejects it loudly), while metadata layout, chunk keys, and the
+  gzip chain are fully interoperable.
 
 - WRITE is fully distributed: every Spark task serializes and writes its
-  own chunk files (``s.ty.tx``) — exactly how Zarr is written to object
-  stores at scale, no driver assembly, no shuffle; only the tiny JSON
-  metadata is driver-side.
+  own chunk files — exactly how Zarr is written to object stores at scale,
+  no driver assembly, no shuffle; only the tiny JSON metadata is
+  driver-side.
 - READ is a distributed ``binaryFile`` scan over the chunk files: chunk
-  indices parsed from the file name (a pure projection — partition-prune
-  friendly), zlib-decoded in the task, re-encoded as engine tile rows.
+  indices parsed from the file path (a pure projection — partition-prune
+  friendly), decoded in the task, re-encoded as engine tile rows.
+- Georeferencing is written to the ROOT group attributes in the
+  reference's own layout (zarr_utils.py:721-726: ``crs`` string,
+  ``transform`` in rasterio Affine order (a,b,c,d,e,f), ``bounds``
+  (left,bottom,right,top), ``width``/``height``/``num_species``, with
+  ``species_codes``/``species_names`` as the attr fallback the reference
+  reads at :324) — so a reference ZarrStore opening this store sees real
+  georeferencing, not silent defaults. The engine's array-level ``.zattrs``
+  keeps the GDAL-style ``[X0, PIX, 0, Y0, 0, -PIX]`` transform for
+  xarray-style consumers; the two layouts are documented here and distinct
+  by level.
 
-The compressor is stdlib zlib (a first-class registered Zarr codec id);
-the reference's Blosc-LZ4 store reads the same way with a different codec
-entry. Round-tripped bit-exact through `zarr_store_roundtrip`.
+Round-tripped bit-exact through `zarr_store_roundtrip` (v2) and
+`zarr_v3_roundtrip` (v3); in-place layer append through `zarr_append_layer`
+(ref append_species_to_zarr, zarr_utils.py:754-818).
 """
 
 from __future__ import annotations
 
+import gzip as _gzip
 import json
 import os
 import zlib
 from collections.abc import Iterator
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -36,16 +60,31 @@ from .. import codecs
 from ..constants import CRS, PIX, SPECIES, UNITS, X0, Y0, caption, image_id
 from ..operators import decode
 
-ZARR_FORMAT = 2
+ZARR_FORMAT = 2  # default write dialect (back-compat)
 
 
-def write_zarr_store(
-    tiles: DataFrame, path: str, array: str = "biomass", level: int = 6
-) -> int:
-    """Write engine tile rows as a genuine Zarr v2 group ``path`` holding
-    one float32 array ``array`` of shape (n_layers, gh, gw), chunked
-    (1, tile_h, tile_w). Chunk files are written BY THE TASKS (one file
-    per tile row, no driver assembly); returns the number of chunks."""
+def _root_attrs(n_layers: int, gw: int, gh: int, codes=None, names=None) -> dict:
+    """Root-group attributes in the REFERENCE's layout (zarr_utils.py:
+    721-726): transform is rasterio Affine order (a,b,c,d,e,f) =
+    (PIX, 0, X0, 0, -PIX, Y0) — NOT the GDAL-style order the engine uses
+    in captions; bounds are (left, bottom, right, top)."""
+    codes = codes if codes is not None else [c for c, _ in SPECIES[:n_layers]]
+    names = names if names is not None else [n for _, n in SPECIES[:n_layers]]
+    return {
+        "crs": CRS,
+        "transform": [PIX, 0.0, X0, 0.0, -PIX, Y0],
+        "bounds": [X0, Y0 - gh * PIX, X0 + gw * PIX, Y0],
+        "width": gw,
+        "height": gh,
+        "num_species": n_layers,
+        "species_codes": codes,
+        "species_names": names,
+        "units": UNITS,
+    }
+
+
+def _grid_info(tiles: DataFrame):
+    """(n_layers, tw, th, gw, gh, meta_df) for a uniform tile table."""
     meta = decode.with_tile_meta(tiles)
     info = meta.agg(
         F.max("s").alias("smax"),
@@ -61,16 +100,94 @@ def write_zarr_store(
     n_layers = int(info.smax) + 1
     tw, th = int(info.w), int(info.h)
     gw, gh = (int(info.txmax) + 1) * tw, (int(info.tymax) + 1) * th
+    return n_layers, tw, th, gw, gh, meta
+
+
+def _write_chunks(
+    meta: DataFrame, adir: str, level: int, zarr_format: int, layer: int | None = None
+) -> int:
+    """Distributed chunk write: every task serializes and writes its own
+    chunk files (v2 ``s.ty.tx`` flat names; v3 ``c/s/ty/tx`` nested keys,
+    gzip with mtime=0 so bytes are deterministic). ``layer`` overrides the
+    layer index for single-layer appends. Returns the chunk count."""
+    v3 = zarr_format == 3
+
+    def wchunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode(r.bytes, int(r.w), int(r.h), r.fmt)
+                buf = np.ascontiguousarray(arr, dtype="<f4").tobytes()
+                s = int(r.s) if layer is None else layer
+                if v3:
+                    blob = _gzip.compress(buf, compresslevel=level, mtime=0)
+                    cdir = os.path.join(adir, "c", str(s), str(int(r.ty)))
+                    os.makedirs(cdir, exist_ok=True)
+                    name = os.path.join(cdir, str(int(r.tx)))
+                else:
+                    blob = zlib.compress(buf, level)
+                    name = os.path.join(adir, f"{s}.{int(r.ty)}.{int(r.tx)}")
+                with open(name, "wb") as fh:
+                    fh.write(blob)
+                out.append((name, len(blob)))
+            if out:
+                yield pd.DataFrame(out, columns=["chunk", "nbytes"])
+
+    manifest = meta.select("s", "tx", "ty", "bytes", "w", "h", "fmt").mapInPandas(
+        wchunks, "chunk string, nbytes long"
+    )
+    return manifest.count()
+
+
+def _write_array_meta(
+    path: str, array: str, shape: list[int], chunks: list[int],
+    level: int, zarr_format: int, root_attrs: dict,
+) -> None:
+    """Driver-side metadata documents for either dialect."""
     adir = os.path.join(path, array)
     os.makedirs(adir, exist_ok=True)
+    if zarr_format == 3:
+        with open(os.path.join(path, "zarr.json"), "w") as fh:
+            json.dump(
+                {"zarr_format": 3, "node_type": "group", "attributes": root_attrs},
+                fh,
+            )
+        with open(os.path.join(adir, "zarr.json"), "w") as fh:
+            json.dump(
+                {
+                    "zarr_format": 3,
+                    "node_type": "array",
+                    "shape": shape,
+                    "data_type": "float32",
+                    "chunk_grid": {
+                        "name": "regular",
+                        "configuration": {"chunk_shape": chunks},
+                    },
+                    "chunk_key_encoding": {
+                        "name": "default",
+                        "configuration": {"separator": "/"},
+                    },
+                    "fill_value": 0.0,
+                    "codecs": [
+                        {"name": "bytes", "configuration": {"endian": "little"}},
+                        {"name": "gzip", "configuration": {"level": level}},
+                    ],
+                    "attributes": {"units": UNITS},
+                    "dimension_names": ["species", "y", "x"],
+                },
+                fh,
+            )
+        return
     with open(os.path.join(path, ".zgroup"), "w") as fh:
-        json.dump({"zarr_format": ZARR_FORMAT}, fh)
+        json.dump({"zarr_format": 2}, fh)
+    with open(os.path.join(path, ".zattrs"), "w") as fh:
+        json.dump(root_attrs, fh)
     with open(os.path.join(adir, ".zarray"), "w") as fh:
         json.dump(
             {
-                "zarr_format": ZARR_FORMAT,
-                "shape": [n_layers, gh, gw],
-                "chunks": [1, th, tw],
+                "zarr_format": 2,
+                "shape": shape,
+                "chunks": chunks,
                 "dtype": "<f4",
                 "compressor": {"id": "zlib", "level": level},
                 "fill_value": 0.0,
@@ -85,31 +202,37 @@ def write_zarr_store(
                 "crs": CRS,
                 "units": UNITS,
                 "transform": [X0, PIX, 0.0, Y0, 0.0, -PIX],
-                "species_codes": [c for c, _ in SPECIES[:n_layers]],
+                "species_codes": root_attrs["species_codes"],
                 "_ARRAY_DIMENSIONS": ["species", "y", "x"],
             },
             fh,
         )
 
-    def wchunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                arr = codecs.decode(r.bytes, int(r.w), int(r.h), r.fmt)
-                blob = zlib.compress(
-                    np.ascontiguousarray(arr, dtype="<f4").tobytes(), level
-                )
-                name = f"{int(r.s)}.{int(r.ty)}.{int(r.tx)}"
-                with open(os.path.join(adir, name), "wb") as fh:
-                    fh.write(blob)
-                out.append((name, len(blob)))
-            if out:
-                yield pd.DataFrame(out, columns=["chunk", "nbytes"])
 
-    manifest = meta.select("s", "tx", "ty", "bytes", "w", "h", "fmt").mapInPandas(
-        wchunks, "chunk string, nbytes long"
+def write_zarr_store(
+    tiles: DataFrame,
+    path: str,
+    array: str = "biomass",
+    level: int = 6,
+    zarr_format: int = ZARR_FORMAT,
+) -> int:
+    """Write engine tile rows as a genuine Zarr group ``path`` holding one
+    float32 array ``array`` of shape (n_layers, gh, gw), chunked
+    (1, tile_h, tile_w). ``zarr_format=2`` (default) writes the classic
+    ``.zgroup``/``.zarray`` + ``s.ty.tx`` layout through zlib;
+    ``zarr_format=3`` writes the reference's dialect — per-node
+    ``zarr.json`` + ``c/s/ty/tx`` chunk keys through the spec's
+    bytes+gzip codec chain (zarr_utils.py:698-745). Chunk files are
+    written BY THE TASKS (one file per tile row, no driver assembly);
+    returns the number of chunks."""
+    if zarr_format not in (2, 3):
+        raise ValueError(f"unsupported zarr_format {zarr_format} (2 or 3)")
+    n_layers, tw, th, gw, gh, meta = _grid_info(tiles)
+    _write_array_meta(
+        path, array, [n_layers, gh, gw], [1, th, tw], level, zarr_format,
+        _root_attrs(n_layers, gw, gh),
     )
-    return manifest.count()
+    return _write_chunks(meta, os.path.join(path, array), level, zarr_format)
 
 
 # the reference's array-locating fallbacks (forest_metrics.py:118-196:
@@ -117,26 +240,48 @@ def write_zarr_store(
 ARRAY_FALLBACKS = ("biomass", "data", "species")
 
 
+def detect_zarr_format(path: str) -> int:
+    """3 if the group has a ``zarr.json`` document, 2 if ``.zgroup``."""
+    if os.path.exists(os.path.join(path, "zarr.json")):
+        return 3
+    if os.path.exists(os.path.join(path, ".zgroup")):
+        return 2
+    raise ValueError(f"{path} is not a zarr group (no zarr.json or .zgroup)")
+
+
+def _is_data_array(adir: str) -> bool:
+    if os.path.exists(os.path.join(adir, ".zarray")):
+        return True
+    zj = os.path.join(adir, "zarr.json")
+    if os.path.exists(zj):
+        with open(zj) as fh:
+            doc = json.load(fh)
+        # v3 groups hold 1-D species_codes/names arrays too — the data
+        # array is the 3-D one (ref _load_zarr_array shape contract)
+        return doc.get("node_type") == "array" and len(doc.get("shape", ())) == 3
+    return False
+
+
 def find_array(path: str) -> str:
-    """Locate the data array inside a zarr group the way the reference's
-    _load_zarr_array does: try the known names in order, else the first
-    child directory holding a .zarray document."""
+    """Locate the data array inside a zarr group (v2 or v3) the way the
+    reference's _load_zarr_array does: try the known names in order, else
+    the first child directory holding an array document."""
     for name in ARRAY_FALLBACKS:
-        if os.path.exists(os.path.join(path, name, ".zarray")):
+        if _is_data_array(os.path.join(path, name)):
             return name
     for name in sorted(os.listdir(path)):
-        if os.path.exists(os.path.join(path, name, ".zarray")):
+        if _is_data_array(os.path.join(path, name)):
             return name
     raise ValueError(f"no zarr array found under {path}")
 
 
 def read_zarr_array_meta(path: str, array: str = "biomass") -> tuple[dict, dict]:
-    """(.zarray, .zattrs) JSON documents, validated for the supported
-    subset (v2, C order, <f4, zlib-or-raw)."""
+    """(.zarray, .zattrs) JSON documents of a v2 array, validated for the
+    supported subset (v2, C order, <f4, zlib-or-raw)."""
     adir = os.path.join(path, array)
     with open(os.path.join(adir, ".zarray")) as fh:
         zarray = json.load(fh)
-    if zarray.get("zarr_format") != ZARR_FORMAT:
+    if zarray.get("zarr_format") != 2:
         raise ValueError("not a Zarr v2 array")
     if zarray.get("order") != "C" or zarray.get("dtype") != "<f4":
         raise ValueError("unsupported zarr array layout (need C-order <f4)")
@@ -151,65 +296,159 @@ def read_zarr_array_meta(path: str, array: str = "biomass") -> tuple[dict, dict]
     return zarray, attrs
 
 
+class ZarrMeta(NamedTuple):
+    version: int
+    shape: list[int]
+    chunks: list[int]
+    compressor: str | None  # "zlib" (v2) | "gzip" (v3) | None (raw)
+    attrs: dict  # root attrs overlaid with array attrs
+
+
+def zarr_meta(path: str, array: str | None = None) -> ZarrMeta:
+    """Version-normalized array metadata: auto-detects v2/v3, validates the
+    supported layout subset, merges root-group attrs (reference layout,
+    zarr_utils.py:721-726) with array-level attrs (array wins)."""
+    version = detect_zarr_format(path)
+    if array is None:
+        array = find_array(path)
+    if version == 2:
+        zarray, attrs = read_zarr_array_meta(path, array)
+        root_attrs = {}
+        rz = os.path.join(path, ".zattrs")
+        if os.path.exists(rz):
+            with open(rz) as fh:
+                root_attrs = json.load(fh)
+        comp = zarray.get("compressor")
+        return ZarrMeta(
+            2, list(zarray["shape"]), list(zarray["chunks"]),
+            "zlib" if comp else None, {**root_attrs, **attrs},
+        )
+    with open(os.path.join(path, array, "zarr.json")) as fh:
+        doc = json.load(fh)
+    if doc.get("zarr_format") != 3 or doc.get("node_type") != "array":
+        raise ValueError(f"{array}/zarr.json is not a Zarr v3 array document")
+    if doc.get("data_type") != "float32":
+        raise ValueError("unsupported v3 data_type (float32 only)")
+    grid = doc.get("chunk_grid", {})
+    if grid.get("name") != "regular":
+        raise ValueError("unsupported v3 chunk grid (regular only)")
+    enc = doc.get("chunk_key_encoding", {"name": "default"})
+    sep = enc.get("configuration", {}).get("separator", "/")
+    if enc.get("name") != "default" or sep != "/":
+        raise ValueError("unsupported v3 chunk key encoding (default '/' only)")
+    chain = doc.get("codecs", [])
+    names = [c.get("name") for c in chain]
+    if not chain or names[0] != "bytes":
+        raise ValueError("unsupported v3 codec chain (must start with 'bytes')")
+    if chain[0].get("configuration", {}).get("endian", "little") != "little":
+        raise ValueError("unsupported v3 byte order (little-endian only)")
+    if names[1:] not in ([], ["gzip"]):
+        # the reference's own stores use BloscCodec (zarr_utils.py:702-705)
+        # — Blosc frame decode is a documented read gap in this engine
+        raise ValueError(
+            f"unsupported v3 codec chain {names!r} (bytes[+gzip] only; "
+            "Blosc is a documented read gap)"
+        )
+    root_attrs = {}
+    with open(os.path.join(path, "zarr.json")) as fh:
+        root_attrs = json.load(fh).get("attributes", {})
+    return ZarrMeta(
+        3, list(doc["shape"]), list(grid["configuration"]["chunk_shape"]),
+        "gzip" if "gzip" in names else None,
+        {**root_attrs, **doc.get("attributes", {})},
+    )
+
+
+def _read_root_attrs(path: str, version: int) -> dict:
+    """Root-GROUP attributes only (what the reference's ZarrStore reads
+    for georeferencing, zarr_utils.py:721-726) — no array-level overlay."""
+    if version == 3:
+        with open(os.path.join(path, "zarr.json")) as fh:
+            return json.load(fh).get("attributes", {})
+    rz = os.path.join(path, ".zattrs")
+    if os.path.exists(rz):
+        with open(rz) as fh:
+            return json.load(fh)
+    return {}
+
+
 def read_zarr_store(
     spark: SparkSession,
     path: str,
     array: str | None = None,
     species: list[int] | None = None,
 ) -> DataFrame:
-    """Distributed Zarr v2 scan -> engine tile rows (image_id, bytes, w, h,
-    fmt, caption, phash). Chunk indices come from the file NAME (a pure
-    projection; an object-store listing prunes the same way).
-    ``array=None`` locates the data array via the reference's fallback
-    order (biomass -> data -> species). ``species=[...]`` prunes at the
-    LISTING level (chunk names start with the layer index — the Zarr
-    analogue of partition pruning: non-matching chunk files are never
-    opened, the P1/P2 layer slice for free)."""
+    """Distributed Zarr scan (v2 or v3, auto-detected) -> engine tile rows
+    (image_id, bytes, w, h, fmt, caption, phash). Chunk indices come from
+    the file PATH (a pure projection; an object-store listing prunes the
+    same way). ``array=None`` locates the data array via the reference's
+    fallback order (biomass -> data -> species). ``species=[...]`` prunes
+    at the LISTING level — v2 via a chunk-name glob, v3 via the ``c/<s>/``
+    key-prefix DIRECTORIES (the Zarr analogue of partition pruning:
+    non-matching chunk files are never opened, the P1/P2 layer slice for
+    free)."""
     from ..datagen import pixels as pxgen
     from ..datagen.tiles import TILE_SCHEMA
 
     if array is None:
         array = find_array(path)
-
-    zarray, attrs = read_zarr_array_meta(path, array)
-    _, th, tw = (int(c) for c in zarray["chunks"])
-    compressed = zarray.get("compressor") is not None
-    stored_codes = attrs.get("species_codes")
+    m = zarr_meta(path, array)
+    _, th, tw = (int(c) for c in m.chunks)
+    compressor = m.compressor
+    stored_codes = m.attrs.get("species_codes")
+    stored_names = m.attrs.get("species_names")
     names = dict(SPECIES)
-    codes = {
-        i: (c, names.get(c, c))
-        for i, c in enumerate(stored_codes or [c for c, _ in SPECIES])
-    }
-    if species is None:
-        glob = "[0-9]*"
-    elif len(species) == 1:
-        glob = f"{int(species[0])}.*"
+    codes = {}
+    for i, c in enumerate(stored_codes or [c for c, _ in SPECIES]):
+        nm = (
+            stored_names[i]
+            if stored_names and i < len(stored_names)
+            else names.get(c, c)
+        )
+        codes[i] = (c, nm)
+    reader = spark.read.format("binaryFile")
+    if m.version == 2:
+        if species is None:
+            glob = "[0-9]*"
+        elif len(species) == 1:
+            glob = f"{int(species[0])}.*"
+        else:
+            glob = "{" + ",".join(str(int(s)) for s in sorted(set(species))) + "}.*"
+        files = reader.option("pathGlobFilter", glob).load(os.path.join(path, array))
     else:
-        glob = "{" + ",".join(str(int(s)) for s in sorted(set(species))) + "}.*"
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .load(os.path.join(path, array))
-        .select("path", "content")
-    )
-    # chunk files are tiny (a zlib tile each) but the default open-cost
-    # packing schedules ~one file per task — at 10^5 chunks that is pure
-    # scheduler overhead. A NARROW coalesce (no shuffle, plan stays
+        cdir = os.path.join(path, array, "c")
+        reader = reader.option("recursiveFileLookup", "true")
+        if species is None:
+            files = reader.load(cdir)
+        else:
+            files = reader.load(
+                [os.path.join(cdir, str(int(s))) for s in sorted(set(species))]
+            )
+    files = files.select("path", "content")
+    # chunk files are tiny (a compressed tile each) but the default
+    # open-cost packing schedules ~one file per task — at 10^5 chunks that
+    # is pure scheduler overhead. A NARROW coalesce (no shuffle, plan stays
     # map-only) packs many chunks per task; 4x parallelism keeps AQE-free
     # balance even with skewed chunk sizes.
     target = spark.sparkContext.defaultParallelism * 4
     if files.rdd.getNumPartitions() > target:
         files = files.coalesce(target)
+    v3 = m.version == 3
 
     def rd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                name = r.path.rsplit("/", 1)[-1]
-                s, cy, cx = (int(x) for x in name.split("."))
+                if v3:
+                    s, cy, cx = (int(x) for x in r.path.rsplit("/", 3)[-3:])
+                else:
+                    name = r.path.rsplit("/", 1)[-1]
+                    s, cy, cx = (int(x) for x in name.split("."))
                 raw = bytes(r.content)
-                if compressed:
+                if compressor == "zlib":
                     raw = zlib.decompress(raw)
+                elif compressor == "gzip":
+                    raw = _gzip.decompress(raw)
                 arr = np.frombuffer(raw, dtype="<f4").reshape(th, tw)
                 code, nm = codes[s]
                 rows.append(
@@ -232,3 +471,89 @@ def read_zarr_store(
                 )
 
     return files.mapInPandas(rd, TILE_SCHEMA)
+
+
+def append_layer(
+    tiles: DataFrame,
+    path: str,
+    species_code: str,
+    species_name: str,
+    array: str | None = None,
+    level: int = 6,
+    validate_alignment: bool = True,
+) -> int:
+    """In-place append of ONE species layer to an EXISTING on-disk store —
+    the engine form of the reference's ``append_species_to_zarr``
+    (zarr_utils.py:754-818): chunk writes for the new layer are fully
+    distributed (tasks write only the new layer's chunk files; existing
+    chunks are untouched), the driver updates only the JSON metadata, and
+    ``validate_alignment`` mirrors the reference's ``np.allclose`` checks
+    on transform/bounds (:792-806) plus the chunk-dimension contract.
+    Works on both v2 and v3 stores (auto-detected). Returns the layer
+    index the species was written at."""
+    version = detect_zarr_format(path)
+    if array is None:
+        array = find_array(path)
+    m = zarr_meta(path, array)
+    n_layers, gh, gw = (int(x) for x in m.shape)
+    _, th, tw = (int(c) for c in m.chunks)
+    meta = decode.with_tile_meta(tiles)
+    info = meta.agg(
+        F.min("w").alias("w"), F.max("w").alias("wmax"),
+        F.min("h").alias("h"), F.max("h").alias("hmax"),
+        F.max("tx").alias("txmax"), F.max("ty").alias("tymax"),
+        F.count("*").alias("n"),
+        F.count_distinct("tx", "ty").alias("nxy"),
+    ).first()
+    if info.n == 0:
+        raise ValueError("append_layer: empty tile set")
+    if info.w != info.wmax or info.h != info.hmax:
+        raise ValueError("append_layer: tiles must have uniform dimensions")
+    if (int(info.w), int(info.h)) != (tw, th):
+        raise ValueError(
+            f"append_layer: tile dims ({info.w}, {info.h}) != store chunks "
+            f"({tw}, {th})"
+        )
+    if (int(info.txmax) + 1) * tw > gw or (int(info.tymax) + 1) * th > gh:
+        raise ValueError("append_layer: tile extent exceeds the store grid")
+    if info.nxy != info.n:
+        raise ValueError("append_layer: duplicate (tx, ty) tiles in append set")
+    if validate_alignment:
+        # the reference rejects stores whose georeferencing doesn't match
+        # the incoming raster (allclose, rtol=1e-5); the engine's rasters
+        # live on the canonical grid, so the check runs against it
+        affine_t = [PIX, 0.0, X0, 0.0, -PIX, Y0]  # root attrs (ref layout)
+        gdal_t = [X0, PIX, 0.0, Y0, 0.0, -PIX]  # array-level .zattrs layout
+        want_b = [X0, Y0 - gh * PIX, X0 + gw * PIX, Y0]
+        root = _read_root_attrs(path, version)
+        got_t = root.get("transform", m.attrs.get("transform", affine_t))
+        got_b = root.get("bounds", m.attrs.get("bounds", want_b))
+        if len(got_t) != 6 or not (
+            np.allclose(got_t, affine_t, rtol=1e-5)
+            or np.allclose(got_t, gdal_t, rtol=1e-5)
+        ):
+            raise ValueError(
+                f"append_layer: transform mismatch (store {got_t}, grid {affine_t})"
+            )
+        if len(got_b) != 4 or not np.allclose(got_b, want_b, rtol=1e-5):
+            raise ValueError(
+                f"append_layer: bounds mismatch (store {got_b}, grid {want_b})"
+            )
+    if m.compressor is None:
+        raise ValueError(
+            "append_layer: uncompressed stores are not supported for "
+            "in-place append (both engine write dialects compress)"
+        )
+    # reference semantics: num_species tracks the filled prefix of a
+    # possibly pre-allocated array; dense engine stores have it == shape[0]
+    idx = int(m.attrs.get("num_species", n_layers))
+    new_n = max(n_layers, idx + 1)
+    _write_chunks(meta, os.path.join(path, array), level, version, layer=idx)
+    codes = list(m.attrs.get("species_codes", [c for c, _ in SPECIES[:n_layers]]))
+    names = list(m.attrs.get("species_names", [n for _, n in SPECIES[:n_layers]]))
+    codes, names = codes[:idx] + [species_code], names[:idx] + [species_name]
+    _write_array_meta(
+        path, array, [new_n, gh, gw], [1, th, tw], level, version,
+        _root_attrs(new_n, gw, gh, codes, names),
+    )
+    return idx

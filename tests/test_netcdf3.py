@@ -67,6 +67,28 @@ class TestNetcdf3:
         with pytest.raises(ValueError, match="NC_INT range"):
             netcdf3.write_netcdf3({"x": 1}, {"v": (("x",), np.array([2**40]))})
 
+    def test_unsigned_widens_to_next_signed(self):
+        """ADVICE r4: u1/u2 must widen (u1->NC_SHORT, u2->NC_INT) so
+        high-bit values survive instead of wrapping negative."""
+        u8 = np.array([0, 127, 128, 255], dtype=np.uint8)
+        assert netcdf3._nc_type_of(u8) == 3  # NC_SHORT
+        _, (_, vars_, _, _) = _roundtrip({"x": 4}, {"v": (("x",), u8)})
+        np.testing.assert_array_equal(vars_["v"][1], u8.astype(np.int16))
+        u16 = np.array([0, 2**15, 2**16 - 1], dtype=np.uint16)
+        assert netcdf3._nc_type_of(u16) == 4  # NC_INT
+        _, (_, vars_, _, _) = _roundtrip({"x": 3}, {"v": (("x",), u16)})
+        np.testing.assert_array_equal(vars_["v"][1], u16.astype(np.int32))
+
+    def test_unsigned_wide_range_checked(self):
+        ok = np.array([0, 2**31 - 1], dtype=np.uint32)
+        _, (_, vars_, _, _) = _roundtrip({"x": 2}, {"v": (("x",), ok)})
+        np.testing.assert_array_equal(vars_["v"][1], ok.astype(np.int32))
+        for dt in (np.uint32, np.uint64):
+            with pytest.raises(ValueError, match="NC_INT range"):
+                netcdf3.write_netcdf3(
+                    {"x": 1}, {"v": (("x",), np.array([2**31], dtype=dt))}
+                )
+
     def test_shape_mismatch_raises(self):
         with pytest.raises(ValueError, match="shape"):
             netcdf3.write_netcdf3({"x": 3}, {"v": (("x",), np.zeros(4))})

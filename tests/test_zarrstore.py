@@ -122,6 +122,164 @@ class TestArrayDiscovery:
             zarrstore.find_array(str(tmp_path))
 
 
+class TestZarrV3:
+    def test_v3_layout_and_chunk_bytes(self, spark, tmp_path):
+        """The v3 store must be readable with nothing but the v3 spec:
+        per-node zarr.json + c/s/ty/tx chunk keys + gzip members, and the
+        ROOT attrs must be in the reference's layout (Affine-order
+        transform, bounds, num_species, species lists)."""
+        import gzip
+
+        from gridfia_spark.constants import PIX, SPECIES, X0, Y0
+
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "v3.zarr")
+        n = zarrstore.write_zarr_store(tiles, store, zarr_format=3)
+        assert n == tiles.count()
+        root = json.load(open(os.path.join(store, "zarr.json")))
+        assert root["zarr_format"] == 3 and root["node_type"] == "group"
+        ra = root["attributes"]
+        assert ra["transform"] == [PIX, 0.0, X0, 0.0, -PIX, Y0]
+        assert ra["bounds"][0] == X0 and ra["bounds"][3] == Y0
+        assert ra["num_species"] == len(SPECIES)
+        assert ra["species_names"][0] == "Total Biomass"
+        arr = json.load(open(os.path.join(store, "biomass", "zarr.json")))
+        assert arr["node_type"] == "array" and arr["data_type"] == "float32"
+        assert [c["name"] for c in arr["codecs"]] == ["bytes", "gzip"]
+        assert arr["chunk_key_encoding"]["configuration"]["separator"] == "/"
+        # hand-decode one chunk with stdlib only
+        row = tiles.filter(F.col("image_id").contains("tx000_ty000")).first()
+        s = ra["species_codes"].index(row.image_id[2:6])
+        raw = gzip.decompress(
+            open(os.path.join(store, "biomass", "c", str(s), "0", "0"), "rb").read()
+        )
+        got = np.frombuffer(raw, "<f4").reshape(row.h, row.w)
+        want = codecs.decode(bytes(row.bytes), row.w, row.h, row.fmt)
+        np.testing.assert_array_equal(got, want)
+
+    def test_v3_roundtrip_and_pruning(self, spark, tmp_path):
+        from gridfia_spark.constants import spec_for_sf_dir
+
+        spec = spec_for_sf_dir(SF_DIR)
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "v3rt.zarr")
+        zarrstore.write_zarr_store(tiles, store, zarr_format=3)
+        assert zarrstore.detect_zarr_format(store) == 3
+        assert zarrstore.find_array(store) == "biomass"
+        back = zarrstore.read_zarr_store(spark, store)
+        a = {
+            r.image_id: (r.phash, r.caption)
+            for r in tiles.select("image_id", "phash", "caption").collect()
+        }
+        b = {
+            r.image_id: (r.phash, r.caption)
+            for r in back.select("image_id", "phash", "caption").collect()
+        }
+        assert a == b
+        # species filter prunes at the c/<s>/ DIRECTORY level
+        per_layer = spec.tiles_x * spec.tiles_y
+        two = zarrstore.read_zarr_store(spark, store, species=[1, 3])
+        assert len(two.inputFiles()) == 2 * per_layer
+        assert two.count() == 2 * per_layer
+
+    def test_v3_blosc_rejected_loudly(self, spark, tmp_path):
+        """The reference's own stores use BloscCodec — a documented read
+        gap; the reader must refuse, never silently misdecode."""
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "bl.zarr")
+        zarrstore.write_zarr_store(tiles, store, zarr_format=3)
+        p = os.path.join(store, "biomass", "zarr.json")
+        doc = json.load(open(p))
+        doc["codecs"] = [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "blosc", "configuration": {"cname": "lz4"}},
+        ]
+        json.dump(doc, open(p, "w"))
+        with pytest.raises(ValueError, match="Blosc"):
+            zarrstore.zarr_meta(store)
+
+    def test_v2_root_attrs_reference_layout(self, spark, tmp_path):
+        """ADVICE r4: the reference's ZarrStore reads georeferencing from
+        the ROOT group attrs in rasterio Affine order — the v2 store must
+        carry them there (the array-level GDAL-order .zattrs stays for
+        xarray consumers)."""
+        from gridfia_spark.constants import PIX, X0, Y0
+
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "ra.zarr")
+        zarrstore.write_zarr_store(tiles, store)
+        ra = json.load(open(os.path.join(store, ".zattrs")))
+        assert ra["transform"] == [PIX, 0.0, X0, 0.0, -PIX, Y0]
+        assert ra["crs"] and ra["species_codes"] and ra["species_names"]
+        assert len(ra["bounds"]) == 4 and ra["num_species"] > 0
+
+
+class TestAppendLayer:
+    @pytest.mark.parametrize("vfmt", [2, 3])
+    def test_append_lifecycle(self, spark, tmp_path, vfmt):
+        """create -> in-place append -> full scan equals the all-layer
+        table; the appended layer is reachable via pruned scan (ref
+        append_species_to_zarr, zarr_utils.py:754-818)."""
+        from gridfia_spark.constants import SPECIES
+
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        code, name = SPECIES[-1]
+        base = tiles.filter(~F.col("image_id").startswith(f"sp{code}"))
+        extra = tiles.filter(F.col("image_id").startswith(f"sp{code}"))
+        store = str(tmp_path / f"ap{vfmt}.zarr")
+        zarrstore.write_zarr_store(base, store, zarr_format=vfmt)
+        idx = zarrstore.append_layer(extra, store, code, name)
+        assert idx == len(SPECIES) - 1
+        m = zarrstore.zarr_meta(store)
+        assert m.shape[0] == len(SPECIES)
+        assert m.attrs["num_species"] == len(SPECIES)
+        assert m.attrs["species_codes"][-1] == code
+        assert m.attrs["species_names"][-1] == name
+        back = zarrstore.read_zarr_store(spark, store)
+        a = {
+            r.image_id: (r.phash, r.caption)
+            for r in tiles.select("image_id", "phash", "caption").collect()
+        }
+        b = {
+            r.image_id: (r.phash, r.caption)
+            for r in back.select("image_id", "phash", "caption").collect()
+        }
+        assert a == b
+        only = zarrstore.read_zarr_store(spark, store, species=[idx])
+        assert {r.image_id[2:6] for r in only.collect()} == {code}
+
+    def test_append_rejects_misaligned(self, spark, tmp_path):
+        from gridfia_spark.constants import SPECIES, spec_for_sf_dir
+
+        spec = spec_for_sf_dir(SF_DIR)
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        code, name = SPECIES[-1]
+        base = tiles.filter(~F.col("image_id").startswith(f"sp{code}"))
+        extra = tiles.filter(F.col("image_id").startswith(f"sp{code}"))
+        store = str(tmp_path / "bad.zarr")
+        zarrstore.write_zarr_store(base, store)
+        # wrong tile dims
+        a = pxgen.tile_pixels(1, 0, 0, spec)[:16, :16]
+        wrong = spark.createDataFrame(
+            [(f"sp{code}_tx000_ty000", bytearray(codecs.encode(a, "rawz")),
+              16, 16, "rawz", "c", 0)],
+            tgen.TILE_SCHEMA,
+        )
+        with pytest.raises(ValueError, match="dims"):
+            zarrstore.append_layer(wrong, store, code, name)
+        # duplicate (tx, ty)
+        dup = extra.unionByName(extra)
+        with pytest.raises(ValueError, match="duplicate"):
+            zarrstore.append_layer(dup, store, code, name)
+        # transform mismatch in the persisted store (reference allclose)
+        ra_path = os.path.join(store, ".zattrs")
+        ra = json.load(open(ra_path))
+        ra["transform"] = [60.0, 0.0, 0.0, 0.0, -60.0, 0.0]
+        json.dump(ra, open(ra_path, "w"))
+        with pytest.raises(ValueError, match="transform mismatch"):
+            zarrstore.append_layer(extra, store, code, name)
+
+
 class TestLayerPruning:
     def test_species_filter_prunes_files_at_listing(self, spark, tmp_path):
         """species=[...] is the Zarr analogue of partition pruning: chunk
