@@ -5,9 +5,11 @@ The reference validates pydantic YAML configs and loops calculations one at
 a time; the engine's config run compiles every ENABLED calculation into ONE
 shared applyInPandas kernel pass (operators/metrics.metric_layers) and fans
 the results out to the requested sinks — the multi-metric-per-scan plan the
-reference approximates per chunk. Configs are JSON (stdlib; the sandbox
-ships no YAML parser — the document shape matches the reference's YAML
-templates 1:1, so a YAML loader can be dropped in front unchanged).
+reference approximates per chunk. Configs load from JSON or YAML — the
+reference's configs are YAML (location_config.py:36-38 ``yaml.safe_load``);
+``.yaml``/``.yml`` paths go through the safe stdlib-only subset loader in
+gridfia_spark/yamlite.py, and the document shape matches the reference's
+templates 1:1.
 """
 
 from __future__ import annotations
@@ -115,14 +117,30 @@ def to_dict(cfg: AnalysisConfig) -> dict[str, Any]:
     }
 
 
+def _is_yaml(path: str) -> bool:
+    return path.lower().endswith((".yaml", ".yml"))
+
+
 def save_config(cfg: AnalysisConfig, path: str) -> None:
+    """JSON or (by extension) YAML — the reference's config dialect
+    (location_config.py:36-38)."""
     with open(path, "w") as fh:
-        json.dump(to_dict(cfg), fh, indent=2)
+        if _is_yaml(path):
+            from . import yamlite
+
+            fh.write(yamlite.safe_dump(to_dict(cfg)))
+        else:
+            json.dump(to_dict(cfg), fh, indent=2)
 
 
 def load_config(path: str) -> AnalysisConfig:
     with open(path) as fh:
-        doc = json.load(fh)
+        if _is_yaml(path):
+            from . import yamlite
+
+            doc = yamlite.safe_load(fh.read()) or {}
+        else:
+            doc = json.load(fh)
     calcs = [
         CalculationConfig(
             name=c["name"],

@@ -143,6 +143,66 @@ def _centroids(n_clusters: int, dim: int, seed: int) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def train_ivf_centroids(
+    targets: DataFrame,
+    n_clusters: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    sample_size: int = 2048,
+    iters: int = 10,
+) -> np.ndarray:
+    """Spherical k-means codebook trained on a DETERMINISTIC sample of the
+    corpus — the quality upgrade over the seeded random codebook (which
+    stays as the fallback when no training pass is affordable).
+
+    Scale shape: the sample is the hash-order top-``sample_size`` rows —
+    Spark compiles orderBy+limit to TakeOrderedAndProject (per-partition
+    top-k, merged on the driver; no full sort shuffle), so the training
+    input is O(sample_size) regardless of corpus size. Training itself is
+    driver-side numpy (k-means++ init, Lloyd iterations with cosine
+    geometry: unit-normalize, assign by max dot, mean + renormalize;
+    empty clusters re-seeded from the worst-assigned point) — O(sample *
+    k * dim * iters) flops, milliseconds for any sane codebook. The
+    result ships to executors as plan literals like the seeded codebook."""
+    rows = (
+        targets.select("vec_id", "embedding")
+        .orderBy(F.abs(F.hash("vec_id")), F.col("vec_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    if x.shape[0] < n_clusters:
+        raise ValueError(
+            f"train_ivf_centroids: sample ({x.shape[0]}) smaller than "
+            f"n_clusters ({n_clusters})"
+        )
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding in cosine distance (1 - dot on unit vectors)
+    cents = np.empty((n_clusters, dim))
+    cents[0] = x[rng.integers(len(x))]
+    d = 1.0 - x @ cents[0]
+    for i in range(1, n_clusters):
+        p = np.maximum(d, 0)
+        tot = p.sum()
+        idx = rng.choice(len(x), p=p / tot) if tot > 0 else rng.integers(len(x))
+        cents[i] = x[idx]
+        d = np.minimum(d, 1.0 - x @ cents[i])
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_clusters):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    cents[c] = v / n
+            else:
+                cents[c] = x[sims.max(axis=1).argmin()]
+    return cents
+
+
 def with_ivf_cluster(
     emb: DataFrame,
     n_clusters: int = 16,
@@ -150,13 +210,17 @@ def with_ivf_cluster(
     dim: int = 64,
     col: str = "ivf_cluster",
     nprobe: int = 1,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest IVF centroids (max cosine
-    against a deterministic seeded codebook) — built-in expressions only.
+    against the codebook) — built-in expressions only. ``centroids`` takes
+    a trained codebook (train_ivf_centroids); default is the deterministic
+    seeded random codebook.
 
     nprobe=1 -> a single int column; nprobe>1 -> exploded (vector, cluster)
     rows, the query-side multi-probe of IVF search."""
-    cents = _centroids(n_clusters, dim, seed)
+    cents = centroids if centroids is not None else _centroids(n_clusters, dim, seed)
+    n_clusters = len(cents)
     vec = F.transform("embedding", lambda x: x.cast("double"))
     norm = F.sqrt(_dot(vec, vec))
     scored = F.array(
@@ -180,15 +244,42 @@ def build_ivf_index(
     n_clusters: int = 16,
     seed: int = 7,
     dim: int = 64,
+    centroids: np.ndarray | None = None,
 ) -> None:
     """Materialize the inverted file (``t_id -> cl``) to Parquet once, so
     every later query skips the corpus-wide assignment pass — the
     build-once/query-many split of production ANN serving. Pass the read
-    table back to ``ivf_cosine_topk(assignments=...)``."""
-    with_ivf_cluster(targets, n_clusters, seed, dim, nprobe=1).select(
+    table back to ``ivf_cosine_topk(assignments=...)``.
+
+    A trained ``centroids`` codebook is persisted alongside the file as
+    ``_codebook.json`` (underscore-prefixed: invisible to parquet
+    listings), so queries against the index probe the SAME codebook —
+    load it back with ``load_ivf_codebook(path)``."""
+    with_ivf_cluster(
+        targets, n_clusters, seed, dim, nprobe=1, centroids=centroids
+    ).select(
         F.col("vec_id").alias("t_id"),
         F.col("ivf_cluster").alias("cl"),
     ).write.mode("overwrite").parquet(path)
+    if centroids is not None:
+        import json
+        import os
+
+        with open(os.path.join(path, "_codebook.json"), "w") as fh:
+            json.dump(np.asarray(centroids).tolist(), fh)
+
+
+def load_ivf_codebook(path: str) -> np.ndarray | None:
+    """The trained codebook persisted by build_ivf_index, or None if the
+    index was built with the seeded fallback."""
+    import json
+    import os
+
+    p = os.path.join(path, "_codebook.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return np.array(json.load(fh), dtype=np.float64)
 
 
 def ivf_cosine_topk(
@@ -200,6 +291,7 @@ def ivf_cosine_topk(
     seed: int = 7,
     dim: int = 64,
     assignments: DataFrame | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF ANN: targets bucketed by nearest centroid (the inverted file);
     queries probe their ``nprobe`` nearest centroids; candidates re-ranked by
@@ -207,14 +299,18 @@ def ivf_cosine_topk(
     ~nprobe/n_clusters of the corpus instead of all of it.
 
     ``assignments`` (from build_ivf_index) replaces the in-flight target
-    assignment pass with the persisted inverted file."""
+    assignment pass with the persisted inverted file; ``centroids`` probes
+    a trained codebook (must be the one the index was built with — use
+    ``load_ivf_codebook``) instead of the seeded fallback."""
     t = assignments if assignments is not None else with_ivf_cluster(
-        targets, n_clusters, seed, dim, nprobe=1
+        targets, n_clusters, seed, dim, nprobe=1, centroids=centroids
     ).select(
         F.col("vec_id").alias("t_id"),
         F.col("ivf_cluster").alias("cl"),
     )
-    qc = with_ivf_cluster(queries, n_clusters, seed, dim, nprobe=nprobe).select(
+    qc = with_ivf_cluster(
+        queries, n_clusters, seed, dim, nprobe=nprobe, centroids=centroids
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("ivf_cluster").alias("cl"),
     )

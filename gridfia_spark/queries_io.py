@@ -695,23 +695,27 @@ FROM mx"""
 def config_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-driven analysis run end to end (ref config_templates.py +
     location_config.py:44-102 YAML configs): load the repo's example
-    analysis config (JSON — document shape mirrors the reference's YAML
-    templates 1:1), execute config.run_analysis — one shared kernel pass
-    fanned out to tile-parquet and CSV sinks — then derive every emitted
-    row from the PERSISTED outputs (re-read parquet tiles decoded through
-    the codec; re-read CSV summary), so the oracle gates the whole
-    config → compute → sink → artifact path.
+    analysis config from its YAML TWIN (the reference's actual config
+    dialect, parsed by the stdlib-only subset loader in yamlite.py),
+    assert it decodes to the SAME document as the JSON form, then execute
+    config.run_analysis — one shared kernel pass fanned out to
+    tile-parquet and CSV sinks — and derive every emitted row from the
+    PERSISTED outputs (re-read parquet tiles decoded through the codec;
+    re-read CSV summary), so the oracle gates the whole YAML config →
+    compute → sink → artifact path.
 
     Tile-parquet probes compare through the float32 tile codec (max via a
     REAL cast on the oracle side); the CSV summary carries float64."""
     from . import config as cfgmod
 
-    cfg_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "examples",
-        "analysis_config.json",
+    ex_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"
     )
-    cfg = cfgmod.load_config(cfg_path)
+    cfg = cfgmod.load_config(os.path.join(ex_dir, "analysis_config.yaml"))
+    jcfg = cfgmod.load_config(os.path.join(ex_dir, "analysis_config.json"))
+    jd, yd = cfgmod.to_dict(jcfg), cfgmod.to_dict(cfg)
+    jd.pop("description"), yd.pop("description")  # twin-marker text differs
+    assert jd == yd, "YAML twin decodes differently from the JSON config"
     cfg.output_dir = _cache(sf_dir, "config_run")
     tiles = tgen.ensure_tiles(spark, sf_dir)
     res = cfgmod.run_analysis(spark, tiles, cfg)

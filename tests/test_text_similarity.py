@@ -225,6 +225,81 @@ class TestIVF:
         assert a == b and 0 <= min(a.values()) and max(a.values()) < 16
 
 
+class TestTrainedIVF:
+    @staticmethod
+    def _clustered(spark, n_clusters=8, per=40, noise=0.12, seed=11):
+        """Clustered (non-uniform) synthetic embeddings: unit centers +
+        gaussian spread — the regime where codebook quality matters."""
+        rng = np.random.default_rng(seed)
+        cents = rng.standard_normal((n_clusters, 64))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        vecs = np.repeat(cents, per, axis=0) + noise * rng.standard_normal(
+            (n_clusters * per, 64)
+        )
+        pdf = pd.DataFrame(
+            {"vec_id": range(len(vecs)),
+             "embedding": [v.tolist() for v in vecs.astype(np.float32)]}
+        )
+        return spark.createDataFrame(pdf), per
+
+    @staticmethod
+    def _recall(exact, got):
+        e = set(zip(exact.q_id, exact.t_id))
+        return len(e & set(zip(got.q_id, got.t_id))) / len(e)
+
+    def test_trained_codebook_beats_random_on_clustered(self, spark):
+        """VERDICT r4 #4: k-means-on-sample codebook must raise recall over
+        the seeded random codebook on clustered embeddings (nprobe=1 so
+        bucket quality is what's measured)."""
+        df, per = self._clustered(spark)
+        queries = df.filter(F.col("vec_id") % per < 2)  # 2 per true cluster
+        exact = similarity.cosine_topk(queries, df, k=5).toPandas()
+        random_ivf = similarity.ivf_cosine_topk(
+            queries, df, k=5, n_clusters=8, nprobe=1
+        ).toPandas()
+        cents = similarity.train_ivf_centroids(df, n_clusters=8)
+        assert cents.shape == (8, 64)
+        np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-9)
+        trained_ivf = similarity.ivf_cosine_topk(
+            queries, df, k=5, nprobe=1, centroids=cents
+        ).toPandas()
+        r_rand = self._recall(exact, random_ivf)
+        r_trained = self._recall(exact, trained_ivf)
+        assert r_trained >= r_rand, (r_trained, r_rand)
+        assert r_trained >= 0.8, r_trained
+
+    def test_trained_codebook_persists_with_index(self, spark, tmp_path):
+        """build_ivf_index persists the trained codebook as _codebook.json;
+        load_ivf_codebook restores it and indexed queries reproduce the
+        inline trained result exactly."""
+        df, per = self._clustered(spark, per=20)
+        cents = similarity.train_ivf_centroids(df, n_clusters=8)
+        idx = str(tmp_path / "ivf_t")
+        similarity.build_ivf_index(df, idx, centroids=cents)
+        back = similarity.load_ivf_codebook(idx)
+        np.testing.assert_array_equal(back, cents)
+        queries = df.filter(F.col("vec_id") % per == 0)
+        inline = similarity.ivf_cosine_topk(
+            queries, df, k=3, nprobe=2, centroids=cents
+        ).toPandas()
+        assigned = similarity.ivf_cosine_topk(
+            queries, df, k=3, nprobe=2,
+            assignments=spark.read.parquet(idx), centroids=back,
+        ).toPandas()
+        key = lambda p: sorted(zip(p["q_id"], p["rank"], p["t_id"]))  # noqa: E731
+        assert key(inline) == key(assigned)
+        # seeded-fallback index has no codebook sidecar
+        idx2 = str(tmp_path / "ivf_r")
+        similarity.build_ivf_index(df, idx2)
+        assert similarity.load_ivf_codebook(idx2) is None
+
+    def test_training_deterministic(self, spark):
+        df, _ = self._clustered(spark, per=20)
+        a = similarity.train_ivf_centroids(df, n_clusters=8)
+        b = similarity.train_ivf_centroids(df, n_clusters=8)
+        np.testing.assert_array_equal(a, b)
+
+
 class TestPhashNearDup:
     def test_banded_join_equals_brute_force_at_h3(self, spark):
         """Pigeonhole completeness: at max_hamming=3 with 4 bands the LSH
