@@ -81,6 +81,21 @@ def run_bench() -> dict:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # mid-size suite (~10x sf0.1: 8,664 images / 35.5 M px): the same 7
+    # headline queries off the sub-3s noise floor, best-of-3 — the scale
+    # where round-over-round deltas are interpretable without the ±50%
+    # tiny-job caveat (VERDICT r4 #6)
+    MID = "mid"
+    tgen.ensure_tiles(spark, MID).count()  # warm the mid tile cache
+    mid_timings: dict[str, float] = {}
+    for name, fn in _headline_queries().items():
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, MID).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        mid_timings[name] = round(best, 3)
+
     # flagship throughput at the configured parallelism: STEADY-STATE
     # median-of-5 after the warmup block above — a single cold/noisy run
     # must not set the headline (sub-10s jobs swing ±50% on this shared
@@ -115,6 +130,9 @@ def run_bench() -> dict:
         ).save()
         zarr_scan = min(zarr_scan, time.time() - t0)
     zarr_px = n_chunks * int(row0.w) * int(row0.h)
+    from gridfia_spark.constants import SF_SPECS
+
+    spec_mid = SF_SPECS["mid"]
     spark.stop()
     flagship_s = sorted(runs)[len(runs) // 2]
     result = {
@@ -123,6 +141,10 @@ def run_bench() -> dict:
         "unit": "images/sec",
         "queries": timings,
         "queries_total_sec": round(sum(timings.values()), 3),
+        "queries_mid": mid_timings,
+        "queries_mid_total_sec": round(sum(mid_timings.values()), 3),
+        "mid_images": spec_mid.n_images,
+        "mid_px": spec_mid.n_images * spec_mid.tile_w * spec_mid.tile_h,
         "sf": SF_DIR.rstrip("/").rsplit("/", 1)[-1],
         "images": n_images,
         "images_per_sec": round(n_images / flagship_s, 1),

@@ -84,6 +84,10 @@ SF_SPECS: dict[str, GridSpec] = {
     "0.001": GridSpec(2, 2, 32, 32),
     "0.01": GridSpec(4, 4, 48, 48),
     "0.1": GridSpec(12, 12, 64, 64),
+    # mid bench scale: ~10x sf0.1 (38x38 tiles -> 8,664 images, 35.5 M px) —
+    # lifts the headline per-query timings off the sub-3s host-noise floor
+    # (±50% band) so round-over-round deltas carry signal (VERDICT r4 #6)
+    "mid": GridSpec(38, 38, 64, 64),
     # scaling-bench scale: 6x144x144 = 124,416 images x 16K px ≈ 2.04 B px,
     # ~7x the reference's NC benchmark grid (289 M px,
     # docs/data-pipeline/zarr-construction.md:204) — big enough that compute

@@ -116,7 +116,7 @@ def all_polygons(spec: GridSpec) -> list[Polygon]:
 
 # ------------------------------------------------------------------ points
 
-N_POINTS = {"0.001": 100, "0.01": 200, "0.1": 500}
+N_POINTS = {"0.001": 100, "0.01": 200, "0.1": 500, "mid": 1500}
 
 
 def points_xy(spec: GridSpec, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -25,8 +25,21 @@ round-trip verifier in tests and the `netcdf_container` driver query.
 from __future__ import annotations
 
 import struct
+from collections.abc import Callable, Iterator
+from typing import NamedTuple
 
 import numpy as np
+
+
+class LazyVar(NamedTuple):
+    """A streamed variable payload for ``write_netcdf3_stream``: row-major
+    C-order chunks of ``dtype`` whose element counts sum to the variable's
+    declared shape. The sharded single-file export path — the full grid
+    never materializes in memory; each chunk is validated/narrowed exactly
+    like the eager path (same external type, same range checks)."""
+
+    dtype: np.dtype
+    chunks: Callable[[], Iterator[np.ndarray]]
 
 _MAGIC = b"CDF\x01"
 NC_DIMENSION, NC_VARIABLE, NC_ATTRIBUTE = 0x0A, 0x0B, 0x0C
@@ -122,22 +135,47 @@ def write_netcdf3(
     dims: ordered {name: length}; variables: {name: (dim_names, array)}
     with array.shape matching the named dimension lengths.
     """
+    import io
+
+    buf = io.BytesIO()
+    write_netcdf3_stream(buf, dims, variables, global_attrs, var_attrs)
+    return buf.getvalue()
+
+
+def write_netcdf3_stream(
+    fh,
+    dims: dict[str, int],
+    variables: dict[str, tuple[tuple[str, ...], np.ndarray | LazyVar]],
+    global_attrs: dict | None = None,
+    var_attrs: dict[str, dict] | None = None,
+) -> int:
+    """Streamed NetCDF-3 classic writer: same bytes as ``write_netcdf3``
+    (which is now a BytesIO wrapper over this), but a variable's payload
+    may be a ``LazyVar`` whose chunks are written to ``fh`` incrementally
+    — peak memory is one chunk, not one grid. Returns bytes written."""
     var_attrs = var_attrs or {}
     dim_ids = {n: i for i, n in enumerate(dims)}
 
-    # per-variable external encoding
-    enc: dict[str, tuple[int, bytes, tuple[int, ...]]] = {}
-    for vname, (vdims, arr) in variables.items():
-        arr = np.asarray(arr)
+    # per-variable external encoding plan: eager arrays carry their padded
+    # payload; lazy variables carry only (type, external size, shape)
+    enc: dict[str, tuple[int, bytes | None, tuple[str, ...], int, int]] = {}
+    for vname, (vdims, val) in variables.items():
         shape = tuple(dims[d] for d in vdims)
-        if arr.shape != shape:
-            raise ValueError(f"{vname}: shape {arr.shape} != dims {shape}")
-        t = _nc_type_of(arr)
-        enc[vname] = (t, _pad4(arr.astype(_NC_TYPES[t][0]).tobytes()), vdims)
+        n_elem = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        if isinstance(val, LazyVar):
+            t = _nc_type_of(np.empty(0, dtype=val.dtype))
+            ext = n_elem * _NC_TYPES[t][1]
+            enc[vname] = (t, None, vdims, ext + ((4 - ext % 4) % 4), n_elem)
+        else:
+            arr = np.asarray(val)
+            if arr.shape != shape:
+                raise ValueError(f"{vname}: shape {arr.shape} != dims {shape}")
+            t = _nc_type_of(arr)
+            payload = _pad4(arr.astype(_NC_TYPES[t][0]).tobytes())
+            enc[vname] = (t, payload, vdims, len(payload), n_elem)
 
     def var_entry(vname: str, begin: int) -> bytes:
-        t, payload, vdims = enc[vname]
-        vsize = len(payload)  # already padded to 4
+        t, _, vdims, vsize, _ = enc[vname]
         head = _name(vname) + struct.pack(">i", len(vdims))
         head += b"".join(struct.pack(">i", dim_ids[d]) for d in vdims)
         head += _attr_list(var_attrs.get(vname, {}))
@@ -167,8 +205,30 @@ def write_netcdf3(
     begins, off = {}, hlen
     for vname in variables:
         begins[vname] = off
-        off += len(enc[vname][1])
-    return header(begins) + b"".join(enc[v][1] for v in variables)
+        off += enc[vname][3]
+    written = fh.write(header(begins))
+    for vname, (vdims, val) in variables.items():
+        t, payload, _, vsize, n_elem = enc[vname]
+        if payload is not None:
+            written += fh.write(payload)
+            continue
+        ext_dt = _NC_TYPES[t][0]
+        seen = 0
+        for chunk in val.chunks():
+            chunk = np.asarray(chunk)
+            if chunk.dtype != np.dtype(val.dtype):
+                raise ValueError(
+                    f"{vname}: chunk dtype {chunk.dtype} != declared {val.dtype}"
+                )
+            _nc_type_of(chunk)  # re-apply value-range checks per chunk
+            written += fh.write(np.ascontiguousarray(chunk, dtype=chunk.dtype)
+                                .astype(ext_dt).tobytes())
+            seen += chunk.size
+        if seen != n_elem:
+            raise ValueError(f"{vname}: chunks carried {seen} elements, "
+                             f"shape needs {n_elem}")
+        written += fh.write(b"\x00" * ((4 - (seen * _NC_TYPES[t][1]) % 4) % 4))
+    return written
 
 
 def _read_name(buf: bytes, pos: int) -> tuple[str, int]:

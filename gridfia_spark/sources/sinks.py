@@ -91,67 +91,164 @@ def netcdf_dataset(
     return coords, var, {"crs": CRS, "units": UNITS}
 
 
+def _strip_iter(
+    metric_px: DataFrame,
+    metric: str,
+    width: int,
+    height: int,
+    strip_h: int,
+    dtype,
+):
+    """Yield dense (rows, width) row-band arrays in ascending row order —
+    the sharded single-file export core. EXECUTORS assemble and compress
+    each dense strip (groupBy strip -> applyInPandas, one output row per
+    strip, transported zlib-packed); the driver receives the tiny
+    (n_strips)-row frame in strip order and holds ONE decompressed strip
+    at a time, so driver peak memory is O(strip_h * width), never
+    O(grid). Strips with no pixels yield zeros (the fill value). Size
+    ``strip_h`` so a strip fits executor task memory at the target grid
+    width."""
+    import zlib
+
+    np_dtype = np.dtype(dtype)
+    n_strips = -(-height // strip_h)
+    df = metric_px.select(
+        F.col("gx").cast("int").alias("gx"),
+        F.col("gy").cast("int").alias("gy"),
+        F.col(metric).alias("v"),
+        (F.col("gy") / strip_h).cast("int").alias("strip"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = int(pdf["strip"].iloc[0])
+        rows = min(strip_h, height - s * strip_h)
+        a = np.zeros((rows, width), dtype=np_dtype)
+        a[pdf["gy"].to_numpy() - s * strip_h, pdf["gx"].to_numpy()] = (
+            pdf["v"].to_numpy()
+        )
+        return pd.DataFrame({"strip": [s], "data": [zlib.compress(a.tobytes(), 1)]})
+
+    strips = (
+        df.groupBy("strip")
+        .applyInPandas(build, "strip int, data binary")
+        .sort("strip")
+    )
+
+    def zero(s: int) -> np.ndarray:
+        return np.zeros((min(strip_h, height - s * strip_h), width), np_dtype)
+
+    nxt = 0
+    for r in strips.toLocalIterator():
+        while nxt < r.strip:
+            yield zero(nxt)
+            nxt += 1
+        rows = min(strip_h, height - r.strip * strip_h)
+        yield np.frombuffer(zlib.decompress(bytes(r.data)), dtype=np_dtype).reshape(
+            rows, width
+        )
+        nxt += 1
+    while nxt < n_strips:
+        yield zero(nxt)
+        nxt += 1
+
+
 def write_netcdf(
-    metric_px: DataFrame, metric: str, width: int, height: int, path: str
-) -> bytes:
+    metric_px: DataFrame,
+    metric: str,
+    width: int,
+    height: int,
+    path: str,
+    strip_h: int = 512,
+    return_bytes: bool = True,
+) -> bytes | None:
     """S13 physical NetCDF container (ref forest_metrics.py:603-637): the
     Dataset content of ``netcdf_dataset`` serialized as genuine NetCDF-3
     classic bytes via the pure-numpy codec (gridfia_spark/netcdf3.py) and
     written to ``path``.
 
-    Single-file export contract, same as write_report_csv (S15): the
-    metric grid is assembled on the driver (an exported raster is by
-    definition one file; the reference holds the full xarray Dataset in
-    memory the same way). Returns the bytes for callers that verify the
-    round trip."""
+    The export is SHARDED: the metric grid streams to the file in
+    ``strip_h``-row bands (distributed strip assembly, one decompressed
+    strip on the driver at a time — see _strip_iter), byte-identical to a
+    whole-grid write. Integer metrics stage as int64 and are range-checked
+    BEFORE the file opens (then re-checked per strip by the codec), so
+    out-of-range values refuse loudly instead of wrapping. Returns the
+    written bytes for round-trip verification (``return_bytes=False`` at
+    scale to skip the read-back)."""
     from .. import netcdf3
+    from pyspark.sql.types import IntegralType
 
-    pdf = metric_px.select("gx", "gy", metric).toPandas()
-    vals = pdf[metric].to_numpy()
-    # integer metrics stage as int64 so netcdf3's validated narrow-to-NC_INT
-    # runs (an int32 grid here would wrap out-of-range values silently
-    # BEFORE the codec's range check could refuse)
-    arr = np.zeros(
-        (height, width),
-        dtype=np.int64 if np.issubdtype(vals.dtype, np.integer) else np.float64,
-    )
-    arr[pdf["gy"].to_numpy(), pdf["gx"].to_numpy()] = vals
+    is_int = isinstance(metric_px.schema[metric].dataType, IntegralType)
+    stage_dt = np.dtype(np.int64 if is_int else np.float64)
+    if is_int:
+        mm = metric_px.agg(
+            F.min(metric).alias("lo"), F.max(metric).alias("hi")
+        ).first()
+        if mm.lo is not None and (mm.lo < -(2**31) or mm.hi > 2**31 - 1):
+            raise ValueError("int64 values exceed NC_INT range")
     x = X0 + np.arange(width, dtype=np.float64) * PIX
     y = Y0 - np.arange(height, dtype=np.float64) * PIX
-    blob = netcdf3.write_netcdf3(
-        dims={"y": height, "x": width},
-        variables={
-            "y": (("y",), y),
-            "x": (("x",), x),
-            metric: (("y", "x"), arr),
-        },
-        global_attrs={"crs": CRS, "units": UNITS},
-        var_attrs={metric: {"units": UNITS, "grid_mapping": CRS}},
-    )
     with open(path, "wb") as f:
-        f.write(blob)
-    return blob
+        netcdf3.write_netcdf3_stream(
+            f,
+            dims={"y": height, "x": width},
+            variables={
+                "y": (("y",), y),
+                "x": (("x",), x),
+                metric: (
+                    ("y", "x"),
+                    netcdf3.LazyVar(
+                        stage_dt,
+                        lambda: _strip_iter(
+                            metric_px, metric, width, height, strip_h, stage_dt
+                        ),
+                    ),
+                ),
+            },
+            global_attrs={"crs": CRS, "units": UNITS},
+            var_attrs={metric: {"units": UNITS, "grid_mapping": CRS}},
+        )
+    if not return_bytes:
+        return None
+    with open(path, "rb") as f:
+        return f.read()
 
 
 def write_geotiff(
-    metric_px: DataFrame, metric: str, width: int, height: int, path: str
-) -> bytes:
+    metric_px: DataFrame,
+    metric: str,
+    width: int,
+    height: int,
+    path: str,
+    strip_h: int = 512,
+    return_bytes: bool = True,
+) -> bytes | None:
     """S11 physical GeoTIFF export (ref forest_metrics.py:547-601): the
     metric grid serialized as a genuine single-file GeoTIFF via the
     pure-python codec (gridfia_spark/tiff.py) — deflate-compressed
     float32, affine from the engine's transform, CRS citation in the
-    GeoTIFF keys. Single-file export contract like write_netcdf; the
-    distributed raster sink remains metric_to_tiles (one container per
-    tile row). Returns the bytes for round-trip verification."""
+    GeoTIFF keys. Sharded like write_netcdf: row bands stream through one
+    deflate stream (tiff.encode_geotiff_stream), byte-identical to the
+    whole-grid writer, driver peak O(strip). The distributed raster sink
+    remains metric_to_tiles (one container per tile row). Returns the
+    written bytes for round-trip verification."""
     from .. import tiff
 
-    pdf = metric_px.select("gx", "gy", metric).toPandas()
-    arr = np.zeros((height, width), dtype=np.float32)
-    arr[pdf["gy"].to_numpy(), pdf["gx"].to_numpy()] = pdf[metric].to_numpy()
-    blob = tiff.encode_geotiff(arr, X0, Y0, PIX, CRS)
     with open(path, "wb") as f:
-        f.write(blob)
-    return blob
+        tiff.encode_geotiff_stream(
+            f,
+            _strip_iter(metric_px, metric, width, height, strip_h, np.float32),
+            width,
+            height,
+            np.float32,
+            X0,
+            Y0,
+            PIX,
+            CRS,
+        )
+    if not return_bytes:
+        return None
+    with open(path, "rb") as f:
+        return f.read()
 
 
 def write_report_csv(df: DataFrame, path: str) -> None:

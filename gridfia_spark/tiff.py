@@ -57,19 +57,91 @@ def encode_geotiff(
     ``origin_x/origin_y`` are the MODEL coordinates of the raster's
     top-left CORNER (PixelIsArea), ``pixel`` the square pixel size; the
     affine is (origin_x, pixel, 0, origin_y, 0, -pixel)."""
+    import io
+
     arr = np.asarray(arr)
     if arr.ndim != 2:
         raise ValueError("encode_geotiff expects a 2-D grayscale array")
-    if arr.dtype == np.uint8:
-        bits, sfmt = 8, 1
-        raw = arr.tobytes()
-    elif arr.dtype == np.float32:
-        bits, sfmt = 32, 3
-        raw = arr.astype("<f4").tobytes()
-    else:
-        raise ValueError(f"unsupported dtype {arr.dtype} (uint8/float32)")
     h, w = arr.shape
-    data = zlib.compress(raw, 6) if compress else raw
+    buf = io.BytesIO()
+    encode_geotiff_stream(
+        buf, iter([arr]), w, h, arr.dtype, origin_x, origin_y, pixel, crs, compress
+    )
+    return buf.getvalue()
+
+
+def encode_geotiff_stream(
+    fh,
+    chunks,
+    w: int,
+    h: int,
+    dtype,
+    origin_x: float,
+    origin_y: float,
+    pixel: float,
+    crs: str,
+    compress: bool = True,
+) -> int:
+    """Streamed single-strip GeoTIFF writer — byte-identical to
+    ``encode_geotiff`` (which is now a BytesIO wrapper over this), but the
+    raster arrives as an iterator of row-band chunks, so peak memory is
+    one chunk: the sharded single-file export path. ``fh`` must be
+    seekable (the IFD offset in the header is patched after the strip
+    data is streamed; a deflate stream's length isn't known up front).
+    Chunked deflate via one ``zlib.compressobj`` produces the exact bytes
+    of ``zlib.compress`` on the concatenated rows. Returns bytes written."""
+    dtype = np.dtype(dtype)
+    if dtype == np.uint8:
+        bits, sfmt = 8, 1
+    elif dtype == np.float32:
+        bits, sfmt = 32, 3
+    else:
+        raise ValueError(f"unsupported dtype {dtype} (uint8/float32)")
+    start = fh.tell()
+    fh.write(b"II" + struct.pack("<HI", 42, 0))  # IFD offset patched below
+    comp = zlib.compressobj(6) if compress else None
+    data_len = rows = 0
+    for chunk in chunks:
+        chunk = np.asarray(chunk)
+        if chunk.ndim != 2 or chunk.shape[1] != w:
+            raise ValueError(f"chunk shape {chunk.shape} != (rows, {w})")
+        if chunk.dtype != dtype:
+            raise ValueError(f"chunk dtype {chunk.dtype} != declared {dtype}")
+        rows += chunk.shape[0]
+        raw = np.ascontiguousarray(chunk).tobytes() if dtype == np.uint8 \
+            else chunk.astype("<f4").tobytes()
+        data_len += fh.write(comp.compress(raw)) if compress else fh.write(raw)
+    if rows != h:
+        raise ValueError(f"chunks carried {rows} rows, height is {h}")
+    if compress:
+        data_len += fh.write(comp.flush())
+    if data_len % 2:
+        fh.write(b"\x00")
+    ifd_off = 8 + data_len + (data_len % 2)
+    fh.write(_ifd_bytes(
+        w, h, bits, sfmt, data_len, compress, origin_x, origin_y, pixel, crs,
+        ifd_off,
+    ))
+    end = fh.tell()
+    fh.seek(start + 4)
+    fh.write(struct.pack("<I", ifd_off))
+    fh.seek(end)
+    return end - start
+
+
+def _ifd_bytes(
+    w: int,
+    h: int,
+    bits: int,
+    sfmt: int,
+    data_len: int,
+    compress: bool,
+    origin_x: float,
+    origin_y: float,
+    pixel: float,
+    crs: str,
+    ifd_off: int,
+) -> bytes:
     ascii_params = (crs + "|").encode("ascii") + b"\x00"
     geo_keys = [
         (1, 1, 0, 3),  # version 1.1.0, 3 keys
@@ -89,7 +161,7 @@ def encode_geotiff(
         (T_STRIP_OFFSETS, TY_LONG, 1, 0),  # patched below
         (T_SAMPLES_PER_PX, TY_SHORT, 1, 1),
         (T_ROWS_PER_STRIP, TY_LONG, 1, h),
-        (T_STRIP_COUNTS, TY_LONG, 1, len(data)),
+        (T_STRIP_COUNTS, TY_LONG, 1, data_len),
         (T_SAMPLE_FORMAT, TY_SHORT, 1, sfmt),
         (T_PIXEL_SCALE, TY_DOUBLE, 3, struct.pack("<3d", pixel, pixel, 0.0)),
         (
@@ -103,14 +175,8 @@ def encode_geotiff(
     ]
     # layout: header(8) | strip data | IFD | overflow values
     strip_off = 8
-    ifd_off = strip_off + len(data) + (len(data) % 2)
     ifd_size = 2 + 12 * len(entries) + 4
     overflow_off = ifd_off + ifd_size
-    out = bytearray()
-    out += b"II" + struct.pack("<HI", 42, ifd_off)
-    out += data
-    if len(data) % 2:
-        out += b"\x00"
     overflow = bytearray()
     ifd = bytearray(struct.pack("<H", len(entries)))
     for tag, ty, count, val in sorted(entries, key=lambda e: e[0]):
@@ -134,8 +200,7 @@ def encode_geotiff(
                 if len(overflow) % 2:
                     overflow += b"\x00"
     ifd += struct.pack("<I", 0)  # no next IFD
-    out += ifd + overflow
-    return bytes(out)
+    return bytes(ifd + overflow)
 
 
 def _read_entries(buf: bytes, e: str, ifd_off: int) -> dict[int, tuple[int, int, int]]:

@@ -1,0 +1,118 @@
+"""Sharded single-file export (VERDICT r4 #7): the NetCDF/GeoTIFF writers
+stream the metric grid in row strips — byte-identical output at every
+strip size, driver peak memory O(strip) instead of O(grid)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tracemalloc
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gridfia_spark import netcdf3, tiff
+from gridfia_spark.constants import SF_SPECS
+from gridfia_spark.datagen import tiles as tgen
+from gridfia_spark.operators import metrics
+from gridfia_spark.sources import sinks
+
+SF_DIR = "/root/testdata/sf0.001"
+SPEC = SF_SPECS["0.001"]
+
+
+@pytest.fixture(scope="module")
+def rich(spark):
+    tiles = tgen.ensure_tiles(spark, SF_DIR)
+    return metrics.metric_layers(
+        tiles, [metrics.MetricSpec("richness", "species_richness", {}, "long")]
+    ).persist()
+
+
+def _sha(path):
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+class TestShardedExport:
+    def test_netcdf_hash_equal_across_strip_sizes(self, spark, rich, tmp_path):
+        """strip_h = grid height is structurally the whole-grid writer;
+        every smaller strip size must produce the same bytes."""
+        hashes = set()
+        for sh in (SPEC.gh, 7, 32):
+            p = str(tmp_path / f"r{sh}.nc")
+            blob = sinks.write_netcdf(rich, "richness", SPEC.gw, SPEC.gh, p, strip_h=sh)
+            assert blob == open(p, "rb").read()
+            hashes.add(_sha(p))
+        assert len(hashes) == 1
+        dims, variables, gattrs, _ = netcdf3.read_netcdf3(blob)
+        assert dims == {"y": SPEC.gh, "x": SPEC.gw}
+        grid = variables["richness"][1]
+        want = np.zeros((SPEC.gh, SPEC.gw), dtype=np.int64)
+        pdf = rich.select("gx", "gy", "richness").toPandas()
+        want[pdf.gy, pdf.gx] = pdf.richness
+        np.testing.assert_array_equal(grid, want)
+
+    def test_geotiff_hash_equal_across_strip_sizes(self, spark, rich, tmp_path):
+        hashes = set()
+        for sh in (SPEC.gh, 5, 16):
+            p = str(tmp_path / f"r{sh}.tif")
+            sinks.write_geotiff(
+                rich, "richness", SPEC.gw, SPEC.gh, p, strip_h=sh, return_bytes=False
+            )
+            hashes.add(_sha(p))
+        assert len(hashes) == 1
+        arr, meta = tiff.decode_geotiff(open(p, "rb").read())
+        pdf = rich.select("gx", "gy", "richness").toPandas()
+        want = np.zeros((SPEC.gh, SPEC.gw), dtype=np.float32)
+        want[pdf.gy, pdf.gx] = pdf.richness
+        np.testing.assert_array_equal(arr, want)
+        assert meta["origin"] == (-2_000_000.0, -900_000.0)
+
+    def test_driver_memory_bounded_by_strip_knob(self, spark, tmp_path):
+        """The strip path's driver peak tracks the strip size, not the
+        grid: a 600x400 float64 grid is ~1.9 MB staged whole, ~38 KB at
+        strip_h=12 — assert the traced python peak reflects that gap."""
+        h, w = 600, 400
+        df = spark.range(h).select(
+            (F.col("id") % w).cast("int").alias("gx"),
+            F.col("id").cast("int").alias("gy"),
+            (F.col("id") % 97).cast("double").alias("m"),
+        )
+        df = df.persist()
+        df.count()
+
+        def peak(strip_h):
+            tracemalloc.start()
+            sinks.write_netcdf(
+                df, "m", w, h, str(tmp_path / f"m{strip_h}.nc"),
+                strip_h=strip_h, return_bytes=False,
+            )
+            _, pk = tracemalloc.get_traced_memory()
+            tracemalloc.stop()
+            return pk
+
+        whole, strips = peak(h), peak(12)
+        assert strips < whole / 4, (whole, strips)
+        assert _sha(str(tmp_path / f"m{h}.nc")) == _sha(str(tmp_path / "m12.nc"))
+        df.unpersist()
+
+    def test_int_overflow_refuses_before_writing(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(0, 0, 2**35)], "gx int, gy int, m long"
+        )
+        p = str(tmp_path / "bad.nc")
+        with pytest.raises(ValueError, match="NC_INT range"):
+            sinks.write_netcdf(df, "m", 4, 4, p)
+        assert not os.path.exists(p)
+
+    def test_missing_strips_fill_zero(self, spark, tmp_path):
+        """Rows only in the last strip: leading strips must materialize as
+        zeros (fill value), matching the dense writer."""
+        df = spark.createDataFrame([(2, 30, 5.0)], "gx int, gy int, m double")
+        p = str(tmp_path / "sparse.nc")
+        blob = sinks.write_netcdf(df, "m", 4, 32, p, strip_h=8)
+        _, variables, _, _ = netcdf3.read_netcdf3(blob)
+        grid = variables["m"][1]
+        assert grid[30, 2] == 5.0 and grid.sum() == 5.0
