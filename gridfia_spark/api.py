@@ -73,17 +73,42 @@ class GridFIASpark:
         return ingest.validate_tile_table(tiles)
 
     def create_zarr(
-        self, input_dir: str, output_path: str, tile_w: int, tile_h: int
+        self, input_dir: str, output_path: str, tile_w: int, tile_h: int,
+        zarr_format: int = 2,
     ) -> int:
         """The reference's full ETL entry point, literal (api.create_zarr /
         zarr_utils.create_zarr_from_geotiffs, SURVEY §3.3): a directory of
         raster tiles (genuine .tif or engine .bin) -> ingest + total-layer
-        accumulation -> a genuine Zarr v2 store at ``output_path``
-        (distributed chunk writes). Returns the number of chunks."""
+        accumulation -> a genuine Zarr store at ``output_path``
+        (distributed chunk writes; ``zarr_format=3`` writes the
+        reference's v3 dialect). Returns the number of chunks."""
         from .sources import zarrstore
 
         tiles = self.ingest_directory(input_dir, tile_w, tile_h)
-        return zarrstore.write_zarr_store(tiles, output_path)
+        return zarrstore.write_zarr_store(tiles, output_path, zarr_format=zarr_format)
+
+    def append_species_to_zarr(
+        self,
+        zarr_path: str,
+        raster_dir: str,
+        species_code: str,
+        species_name: str,
+        tile_w: int,
+        tile_h: int,
+        validate_alignment: bool = True,
+    ) -> int:
+        """Reference API parity (append_species_to_zarr,
+        zarr_utils.py:754-818): ingest one species' raster files and append
+        them IN PLACE as a new layer of the persisted store — distributed
+        chunk writes for the new layer only, driver metadata update,
+        transform/bounds allclose validation. Returns the layer index."""
+        from .sources import ingest, zarrstore
+
+        tiles = ingest.ingest_raster_dir(self.spark, raster_dir, tile_w, tile_h)
+        return zarrstore.append_layer(
+            tiles, zarr_path, species_code, species_name,
+            validate_alignment=validate_alignment,
+        )
 
     def load_zarr(self, path: str, species: list[int] | None = None) -> DataFrame:
         """Zarr store scan -> tile table (S5 literal), with optional

@@ -223,4 +223,25 @@ class TestCreateZarr:
         total_only = api.load_zarr(store, species=[0])
         rows = total_only.collect()
         assert len(rows) == per_layer
+        # reference-parity in-place append: a third species' raster dir
+        # becomes a new layer of the SAME persisted store
+        code3, name3 = SPECIES[3]
+        src3 = tmp_path / "tifs3"
+        src3.mkdir()
+        for ty in range(spec.tiles_y):
+            for tx in range(spec.tiles_x):
+                arr = pxgen.tile_pixels(3, tx, ty, spec).astype(np.float32)
+                (src3 / f"SPCD_{code3}_tx{tx:03d}_ty{ty:03d}.tif").write_bytes(
+                    tiff.encode_geotiff(
+                        arr, X0 + tx * spec.tile_w * PIX,
+                        Y0 - ty * spec.tile_h * PIX, PIX, "ESRI:102039",
+                    )
+                )
+        idx = api.append_species_to_zarr(
+            store, str(src3), code3, name3, spec.tile_w, spec.tile_h
+        )
+        assert idx == 3
+        assert api.load_zarr(store).count() == 4 * per_layer
+        appended = api.load_zarr(store, species=[idx]).collect()
+        assert {r.image_id[2:6] for r in appended} == {code3}
         assert all(r.image_id.startswith("sp0000") for r in rows)
