@@ -14,10 +14,14 @@ the public Zarr specs:
   the default chunk-key encoding ``c/<s>/<ty>/<tx>`` with ``/`` separator,
   through the spec's ``bytes`` (little-endian) + ``gzip`` codec chain.
   The reference's own stores use the Blosc codec
-  (``zarr.codecs.BloscCodec``, zarr_utils.py:702-705) — Blosc **frame
-  decode is a documented read gap** (no blosc library in this environment;
-  the reader rejects it loudly), while metadata layout, chunk keys, and the
-  gzip chain are fully interoperable.
+  (``zarr.codecs.BloscCodec(cname='lz4', shuffle='shuffle')``,
+  zarr_utils.py:702-705) — those chunks decode through the pure-python
+  Blosc1-LZ4 codec (gridfia_spark/blosc.py), in BOTH dialects (v2
+  ``{"id": "blosc"}`` compressors and v3 ``blosc`` codec entries), and
+  ``codec='blosc'`` writes them back. Blosc cnames beyond lz4 (zstd,
+  snappy, blosclz) and bit-shuffle refuse loudly. The pure-python LZ4 is
+  correctness-grade: use blosc for interop with existing reference
+  stores, the zlib/gzip defaults for throughput.
 
 - WRITE is fully distributed: every Spark task serializes and writes its
   own chunk files — exactly how Zarr is written to object stores at scale,
@@ -103,29 +107,46 @@ def _grid_info(tiles: DataFrame):
     return n_layers, tw, th, gw, gh, meta
 
 
+def _default_codec(zarr_format: int) -> str:
+    return "gzip" if zarr_format == 3 else "zlib"
+
+
 def _write_chunks(
-    meta: DataFrame, adir: str, level: int, zarr_format: int, layer: int | None = None
+    meta: DataFrame,
+    adir: str,
+    level: int,
+    zarr_format: int,
+    layer: int | None = None,
+    codec: str | None = None,
 ) -> int:
     """Distributed chunk write: every task serializes and writes its own
-    chunk files (v2 ``s.ty.tx`` flat names; v3 ``c/s/ty/tx`` nested keys,
-    gzip with mtime=0 so bytes are deterministic). ``layer`` overrides the
-    layer index for single-layer appends. Returns the chunk count."""
+    chunk files (v2 ``s.ty.tx`` flat names; v3 ``c/s/ty/tx`` nested keys;
+    gzip written with mtime=0 so bytes are deterministic). ``codec`` is
+    ``zlib``/``gzip``/``blosc`` (default per dialect); ``layer`` overrides
+    the layer index for single-layer appends. Returns the chunk count."""
     v3 = zarr_format == 3
+    codec = codec or _default_codec(zarr_format)
 
     def wchunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .. import blosc as _blosc
+
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
                 arr = codecs.decode(r.bytes, int(r.w), int(r.h), r.fmt)
                 buf = np.ascontiguousarray(arr, dtype="<f4").tobytes()
                 s = int(r.s) if layer is None else layer
-                if v3:
+                if codec == "blosc":
+                    blob = _blosc.encode_chunk(buf, typesize=4)
+                elif codec == "gzip":
                     blob = _gzip.compress(buf, compresslevel=level, mtime=0)
+                else:
+                    blob = zlib.compress(buf, level)
+                if v3:
                     cdir = os.path.join(adir, "c", str(s), str(int(r.ty)))
                     os.makedirs(cdir, exist_ok=True)
                     name = os.path.join(cdir, str(int(r.tx)))
                 else:
-                    blob = zlib.compress(buf, level)
                     name = os.path.join(adir, f"{s}.{int(r.ty)}.{int(r.tx)}")
                 with open(name, "wb") as fh:
                     fh.write(blob)
@@ -141,12 +162,23 @@ def _write_chunks(
 
 def _write_array_meta(
     path: str, array: str, shape: list[int], chunks: list[int],
-    level: int, zarr_format: int, root_attrs: dict,
+    level: int, zarr_format: int, root_attrs: dict, codec: str | None = None,
 ) -> None:
     """Driver-side metadata documents for either dialect."""
+    codec = codec or _default_codec(zarr_format)
     adir = os.path.join(path, array)
     os.makedirs(adir, exist_ok=True)
     if zarr_format == 3:
+        if codec == "blosc":
+            comp_entry = {
+                "name": "blosc",
+                "configuration": {
+                    "cname": "lz4", "clevel": 5, "shuffle": "shuffle",
+                    "typesize": 4, "blocksize": 0,
+                },
+            }
+        else:
+            comp_entry = {"name": "gzip", "configuration": {"level": level}}
         with open(os.path.join(path, "zarr.json"), "w") as fh:
             json.dump(
                 {"zarr_format": 3, "node_type": "group", "attributes": root_attrs},
@@ -170,7 +202,7 @@ def _write_array_meta(
                     "fill_value": 0.0,
                     "codecs": [
                         {"name": "bytes", "configuration": {"endian": "little"}},
-                        {"name": "gzip", "configuration": {"level": level}},
+                        comp_entry,
                     ],
                     "attributes": {"units": UNITS},
                     "dimension_names": ["species", "y", "x"],
@@ -182,6 +214,10 @@ def _write_array_meta(
         json.dump({"zarr_format": 2}, fh)
     with open(os.path.join(path, ".zattrs"), "w") as fh:
         json.dump(root_attrs, fh)
+    if codec == "blosc":
+        comp_doc = {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1}
+    else:
+        comp_doc = {"id": "zlib", "level": level}
     with open(os.path.join(adir, ".zarray"), "w") as fh:
         json.dump(
             {
@@ -189,7 +225,7 @@ def _write_array_meta(
                 "shape": shape,
                 "chunks": chunks,
                 "dtype": "<f4",
-                "compressor": {"id": "zlib", "level": level},
+                "compressor": comp_doc,
                 "fill_value": 0.0,
                 "order": "C",
                 "filters": None,
@@ -215,6 +251,7 @@ def write_zarr_store(
     array: str = "biomass",
     level: int = 6,
     zarr_format: int = ZARR_FORMAT,
+    codec: str | None = None,
 ) -> int:
     """Write engine tile rows as a genuine Zarr group ``path`` holding one
     float32 array ``array`` of shape (n_layers, gh, gw), chunked
@@ -222,17 +259,25 @@ def write_zarr_store(
     ``.zgroup``/``.zarray`` + ``s.ty.tx`` layout through zlib;
     ``zarr_format=3`` writes the reference's dialect — per-node
     ``zarr.json`` + ``c/s/ty/tx`` chunk keys through the spec's
-    bytes+gzip codec chain (zarr_utils.py:698-745). Chunk files are
-    written BY THE TASKS (one file per tile row, no driver assembly);
-    returns the number of chunks."""
+    bytes+gzip codec chain (zarr_utils.py:698-745). ``codec='blosc'``
+    (either dialect) writes Blosc1-LZ4 chunks — the reference's own
+    compressor (zarr_utils.py:702-705), readable by any c-blosc build;
+    the pure-python LZ4 is correctness-grade, so keep the zlib/gzip
+    defaults on throughput paths. Chunk files are written BY THE TASKS
+    (one file per tile row, no driver assembly); returns the number of
+    chunks."""
     if zarr_format not in (2, 3):
         raise ValueError(f"unsupported zarr_format {zarr_format} (2 or 3)")
+    if codec not in (None, "zlib", "gzip", "blosc"):
+        raise ValueError(f"unsupported codec {codec!r} (zlib/gzip/blosc)")
     n_layers, tw, th, gw, gh, meta = _grid_info(tiles)
     _write_array_meta(
         path, array, [n_layers, gh, gw], [1, th, tw], level, zarr_format,
-        _root_attrs(n_layers, gw, gh),
+        _root_attrs(n_layers, gw, gh), codec,
     )
-    return _write_chunks(meta, os.path.join(path, array), level, zarr_format)
+    return _write_chunks(
+        meta, os.path.join(path, array), level, zarr_format, codec=codec
+    )
 
 
 # the reference's array-locating fallbacks (forest_metrics.py:118-196:
@@ -286,8 +331,17 @@ def read_zarr_array_meta(path: str, array: str = "biomass") -> tuple[dict, dict]
     if zarray.get("order") != "C" or zarray.get("dtype") != "<f4":
         raise ValueError("unsupported zarr array layout (need C-order <f4)")
     comp = zarray.get("compressor")
-    if comp is not None and comp.get("id") != "zlib":
-        raise ValueError(f"unsupported zarr compressor {comp!r} (zlib or raw)")
+    if comp is not None and comp.get("id") not in ("zlib", "blosc"):
+        raise ValueError(
+            f"unsupported zarr compressor {comp!r} (zlib, blosc-lz4, or raw)"
+        )
+    if comp is not None and comp.get("id") == "blosc":
+        # the pure-python blosc codec covers LZ4 (+byte-shuffle) only —
+        # the reference's default; other cnames refuse loudly
+        if comp.get("cname", "lz4") not in ("lz4", "lz4hc"):
+            raise ValueError(
+                f"unsupported blosc cname {comp.get('cname')!r} (lz4 only)"
+            )
     attrs = {}
     zattrs = os.path.join(adir, ".zattrs")
     if os.path.exists(zattrs):
@@ -321,7 +375,7 @@ def zarr_meta(path: str, array: str | None = None) -> ZarrMeta:
         comp = zarray.get("compressor")
         return ZarrMeta(
             2, list(zarray["shape"]), list(zarray["chunks"]),
-            "zlib" if comp else None, {**root_attrs, **attrs},
+            comp.get("id") if comp else None, {**root_attrs, **attrs},
         )
     with open(os.path.join(path, array, "zarr.json")) as fh:
         doc = json.load(fh)
@@ -342,19 +396,26 @@ def zarr_meta(path: str, array: str | None = None) -> ZarrMeta:
         raise ValueError("unsupported v3 codec chain (must start with 'bytes')")
     if chain[0].get("configuration", {}).get("endian", "little") != "little":
         raise ValueError("unsupported v3 byte order (little-endian only)")
-    if names[1:] not in ([], ["gzip"]):
-        # the reference's own stores use BloscCodec (zarr_utils.py:702-705)
-        # — Blosc frame decode is a documented read gap in this engine
+    if names[1:] not in ([], ["gzip"], ["blosc"]):
         raise ValueError(
-            f"unsupported v3 codec chain {names!r} (bytes[+gzip] only; "
-            "Blosc is a documented read gap)"
+            f"unsupported v3 codec chain {names!r} (bytes[+gzip|+blosc-lz4])"
         )
+    if "blosc" in names:
+        # the reference's own compressor (zarr_utils.py:702-705), decoded
+        # by the pure-python blosc-lz4 codec (gridfia_spark/blosc.py);
+        # cnames beyond lz4 refuse loudly
+        bcfg = chain[names.index("blosc")].get("configuration", {})
+        if bcfg.get("cname", "lz4") not in ("lz4", "lz4hc"):
+            raise ValueError(
+                f"unsupported blosc cname {bcfg.get('cname')!r} (lz4 only)"
+            )
     root_attrs = {}
     with open(os.path.join(path, "zarr.json")) as fh:
         root_attrs = json.load(fh).get("attributes", {})
+    comp = "gzip" if "gzip" in names else ("blosc" if "blosc" in names else None)
     return ZarrMeta(
         3, list(doc["shape"]), list(grid["configuration"]["chunk_shape"]),
-        "gzip" if "gzip" in names else None,
+        comp,
         {**root_attrs, **doc.get("attributes", {})},
     )
 
@@ -436,6 +497,8 @@ def read_zarr_store(
     v3 = m.version == 3
 
     def rd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .. import blosc as _blosc
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
@@ -449,6 +512,8 @@ def read_zarr_store(
                     raw = zlib.decompress(raw)
                 elif compressor == "gzip":
                     raw = _gzip.decompress(raw)
+                elif compressor == "blosc":
+                    raw = _blosc.decode_chunk(raw)
                 arr = np.frombuffer(raw, dtype="<f4").reshape(th, tw)
                 code, nm = codes[s]
                 rows.append(
@@ -548,12 +613,15 @@ def append_layer(
     # possibly pre-allocated array; dense engine stores have it == shape[0]
     idx = int(m.attrs.get("num_species", n_layers))
     new_n = max(n_layers, idx + 1)
-    _write_chunks(meta, os.path.join(path, array), level, version, layer=idx)
+    _write_chunks(
+        meta, os.path.join(path, array), level, version, layer=idx,
+        codec=m.compressor,
+    )
     codes = list(m.attrs.get("species_codes", [c for c, _ in SPECIES[:n_layers]]))
     names = list(m.attrs.get("species_names", [n for _, n in SPECIES[:n_layers]]))
     codes, names = codes[:idx] + [species_code], names[:idx] + [species_name]
     _write_array_meta(
         path, array, [new_n, gh, gw], [1, th, tw], level, version,
-        _root_attrs(new_n, gw, gh, codes, names),
+        _root_attrs(new_n, gw, gh, codes, names), m.compressor,
     )
     return idx

@@ -84,9 +84,14 @@ class TestZarrStore:
         zarrstore.write_zarr_store(tiles, store)
         adir = os.path.join(store, "biomass")
         zarray = json.load(open(os.path.join(adir, ".zarray")))
-        zarray["compressor"] = {"id": "blosc", "cname": "lz4"}
+        zarray["compressor"] = {"id": "zstd", "level": 3}
         json.dump(zarray, open(os.path.join(adir, ".zarray"), "w"))
         with pytest.raises(ValueError, match="compressor"):
+            zarrstore.read_zarr_array_meta(store)
+        # blosc IS supported, but only the lz4 cname
+        zarray["compressor"] = {"id": "blosc", "cname": "zstd"}
+        json.dump(zarray, open(os.path.join(adir, ".zarray"), "w"))
+        with pytest.raises(ValueError, match="cname"):
             zarrstore.read_zarr_array_meta(store)
 
     def test_non_uniform_tiles_rejected(self, spark):
@@ -182,9 +187,9 @@ class TestZarrV3:
         assert len(two.inputFiles()) == 2 * per_layer
         assert two.count() == 2 * per_layer
 
-    def test_v3_blosc_rejected_loudly(self, spark, tmp_path):
-        """The reference's own stores use BloscCodec — a documented read
-        gap; the reader must refuse, never silently misdecode."""
+    def test_v3_unsupported_codecs_rejected_loudly(self, spark, tmp_path):
+        """Codec chains outside bytes[+gzip|+blosc-lz4] must refuse,
+        never silently misdecode."""
         tiles = tgen.ensure_tiles(spark, SF_DIR)
         store = str(tmp_path / "bl.zarr")
         zarrstore.write_zarr_store(tiles, store, zarr_format=3)
@@ -192,10 +197,17 @@ class TestZarrV3:
         doc = json.load(open(p))
         doc["codecs"] = [
             {"name": "bytes", "configuration": {"endian": "little"}},
-            {"name": "blosc", "configuration": {"cname": "lz4"}},
+            {"name": "zstd", "configuration": {"level": 0}},
         ]
         json.dump(doc, open(p, "w"))
-        with pytest.raises(ValueError, match="Blosc"):
+        with pytest.raises(ValueError, match="codec chain"):
+            zarrstore.zarr_meta(store)
+        doc["codecs"] = [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "blosc", "configuration": {"cname": "zstd"}},
+        ]
+        json.dump(doc, open(p, "w"))
+        with pytest.raises(ValueError, match="cname"):
             zarrstore.zarr_meta(store)
 
     def test_v2_root_attrs_reference_layout(self, spark, tmp_path):
@@ -212,6 +224,69 @@ class TestZarrV3:
         assert ra["transform"] == [PIX, 0.0, X0, 0.0, -PIX, Y0]
         assert ra["crs"] and ra["species_codes"] and ra["species_names"]
         assert len(ra["bounds"]) == 4 and ra["num_species"] > 0
+
+
+class TestBloscStores:
+    """The reference's ACTUAL compressor (BloscCodec lz4+shuffle,
+    zarr_utils.py:702-705) through the pure-python blosc codec — read,
+    write, and append, both dialects."""
+
+    @pytest.mark.parametrize("vfmt", [2, 3])
+    def test_blosc_store_roundtrip(self, spark, tmp_path, vfmt):
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / f"b{vfmt}.zarr")
+        zarrstore.write_zarr_store(tiles, store, zarr_format=vfmt, codec="blosc")
+        m = zarrstore.zarr_meta(store)
+        assert m.compressor == "blosc"
+        back = zarrstore.read_zarr_store(spark, store)
+        a = {
+            r.image_id: (r.phash, r.caption)
+            for r in tiles.select("image_id", "phash", "caption").collect()
+        }
+        b = {
+            r.image_id: (r.phash, r.caption)
+            for r in back.select("image_id", "phash", "caption").collect()
+        }
+        assert a == b
+
+    def test_blosc_chunk_is_self_describing_c_blosc_layout(self, spark, tmp_path):
+        """Hand-parse one chunk with nothing but the public c-blosc layout:
+        header fields + LZ4 flag + shuffle flag must be present, and the
+        module's decoder must invert it to the exact tile pixels."""
+        import struct
+
+        from gridfia_spark import blosc as B
+
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "bh.zarr")
+        zarrstore.write_zarr_store(tiles, store, codec="blosc")
+        attrs = json.load(open(os.path.join(store, "biomass", ".zattrs")))
+        row = tiles.filter(F.col("image_id").contains("tx000_ty000")).first()
+        s = attrs["species_codes"].index(row.image_id[2:6])
+        buf = open(os.path.join(store, "biomass", f"{s}.0.0"), "rb").read()
+        version, _vlz, flags, typesize = buf[0], buf[1], buf[2], buf[3]
+        nbytes, _bs, cbytes = struct.unpack_from("<III", buf, 4)
+        assert version >= 1 and typesize == 4
+        assert flags & B.FLAG_SHUFFLE or flags & B.FLAG_MEMCPY
+        assert nbytes == row.w * row.h * 4 and cbytes == len(buf)
+        got = np.frombuffer(B.decode_chunk(buf), "<f4").reshape(row.h, row.w)
+        want = codecs.decode(bytes(row.bytes), row.w, row.h, row.fmt)
+        np.testing.assert_array_equal(got, want)
+
+    def test_append_to_blosc_store_keeps_codec(self, spark, tmp_path):
+        from gridfia_spark.constants import SPECIES
+
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        code, name = SPECIES[-1]
+        base = tiles.filter(~F.col("image_id").startswith(f"sp{code}"))
+        extra = tiles.filter(F.col("image_id").startswith(f"sp{code}"))
+        store = str(tmp_path / "ab.zarr")
+        zarrstore.write_zarr_store(base, store, zarr_format=3, codec="blosc")
+        idx = zarrstore.append_layer(extra, store, code, name)
+        m = zarrstore.zarr_meta(store)
+        assert m.compressor == "blosc" and m.shape[0] == len(SPECIES)
+        back = zarrstore.read_zarr_store(spark, store, species=[idx])
+        assert {r.image_id[2:6] for r in back.collect()} == {code}
 
 
 class TestAppendLayer:
