@@ -2,8 +2,8 @@
 
 The reference's Zarr stores compress chunks with
 ``zarr.codecs.BloscCodec(cname='lz4', shuffle='shuffle')``
-(zarr_utils.py:702-705) — the one format the engine's store reader
-previously rejected as a documented gap. This module implements the
+(zarr_utils.py:702-705) — the store format the engine previously
+rejected as a documented read gap. This module implements the
 public c-blosc chunk layout (README_CHUNK_FORMAT.rst) and the public
 LZ4 block format, stdlib+numpy only, so those stores decode without any
 external codec library:
