@@ -76,11 +76,29 @@ def main() -> None:
     )
     print(f"richness layer rows: {rich.count()}")
 
-    # 4. single-file exports + round-trip proof
+    # 3b. the reference's ACTUAL dialect: Zarr v3 with Blosc-LZ4 chunks,
+    # plus an in-place layer append to the persisted store
+    store3 = os.path.join(work, "cube_v3.zarr")
+    zarrstore.write_zarr_store(tiles, store3, zarr_format=3, codec="blosc")
+    extra_code, extra_name = SPECIES[2]
+    extra = ingest.ingest_raster_dir(spark, tif_dir, spec.tile_w, spec.tile_h)
+    extra = extra.selectExpr(
+        f"regexp_replace(image_id, 'sp{code}', 'sp{extra_code}') AS image_id",
+        "bytes", "w", "h", "fmt", "caption", "phash",
+    )
+    idx = zarrstore.append_layer(extra, store3, extra_code, extra_name)
+    m = zarrstore.zarr_meta(store3)
+    print(f"zarr v3+blosc: appended layer {idx}, shape={m.shape}, "
+          f"codec={m.compressor}, num_species={m.attrs['num_species']}")
+    appended = zarrstore.read_zarr_store(spark, store3, species=[idx])
+    print(f"pruned scan of appended layer: {appended.count()} tiles "
+          f"({len(appended.inputFiles())} chunk files listed)")
+
+    # 4. single-file exports (sharded: strips stream through the driver)
     tif_path = os.path.join(work, "richness.tif")
     nc_path = os.path.join(work, "richness.nc")
-    sinks.write_geotiff(rich, "richness", spec.gw, spec.gh, tif_path)
-    sinks.write_netcdf(rich, "richness", spec.gw, spec.gh, nc_path)
+    sinks.write_geotiff(rich, "richness", spec.gw, spec.gh, tif_path, strip_h=16)
+    sinks.write_netcdf(rich, "richness", spec.gw, spec.gh, nc_path, strip_h=16)
     arr_t, meta_t = tiff.decode_geotiff(open(tif_path, "rb").read())
     dims, vars_, gattrs, _ = netcdf3.read_netcdf3(open(nc_path, "rb").read())
     assert meta_t["crs"] == gattrs["crs"] == CRS
