@@ -232,14 +232,30 @@ def _write_array_meta(
             },
             fh,
         )
+    array_attrs = {
+        "crs": CRS,
+        "units": UNITS,
+        "transform": [X0, PIX, 0.0, Y0, 0.0, -PIX],
+        "species_codes": root_attrs["species_codes"],
+        "_ARRAY_DIMENSIONS": ["species", "y", "x"],
+    }
     with open(os.path.join(adir, ".zattrs"), "w") as fh:
+        json.dump(array_attrs, fh)
+    # consolidated metadata (zarr v2 convention): one .zmetadata document
+    # holding every metadata key — xarray's open_zarr(consolidated=True)
+    # fast path, one read instead of a directory walk on object stores
+    with open(os.path.join(adir, ".zarray")) as fh:
+        zarray_doc = json.load(fh)
+    with open(os.path.join(path, ".zmetadata"), "w") as fh:
         json.dump(
             {
-                "crs": CRS,
-                "units": UNITS,
-                "transform": [X0, PIX, 0.0, Y0, 0.0, -PIX],
-                "species_codes": root_attrs["species_codes"],
-                "_ARRAY_DIMENSIONS": ["species", "y", "x"],
+                "zarr_consolidated_format": 1,
+                "metadata": {
+                    ".zgroup": {"zarr_format": 2},
+                    ".zattrs": root_attrs,
+                    f"{array}/.zarray": zarray_doc,
+                    f"{array}/.zattrs": array_attrs,
+                },
             },
             fh,
         )

@@ -210,6 +210,34 @@ class TestZarrV3:
         with pytest.raises(ValueError, match="cname"):
             zarrstore.zarr_meta(store)
 
+    def test_v2_consolidated_metadata(self, spark, tmp_path):
+        """v2 stores carry .zmetadata (zarr_consolidated_format 1) whose
+        entries byte-match the per-key documents — the
+        open_zarr(consolidated=True) fast path; append keeps it current."""
+        from gridfia_spark.constants import SPECIES
+
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "cm.zarr")
+        zarrstore.write_zarr_store(tiles, store)
+        cm = json.load(open(os.path.join(store, ".zmetadata")))
+        assert cm["zarr_consolidated_format"] == 1
+        md = cm["metadata"]
+        assert md[".zgroup"] == json.load(open(os.path.join(store, ".zgroup")))
+        assert md[".zattrs"] == json.load(open(os.path.join(store, ".zattrs")))
+        assert md["biomass/.zarray"] == json.load(
+            open(os.path.join(store, "biomass", ".zarray"))
+        )
+        # in-place append refreshes the consolidated document too
+        code, name = "9999", "Synthetic"
+        extra = tiles.filter(F.col("image_id").startswith("sp0131")).selectExpr(
+            "regexp_replace(image_id, 'sp0131', 'sp9999') AS image_id",
+            "bytes", "w", "h", "fmt", "caption", "phash",
+        )
+        idx = zarrstore.append_layer(extra, store, code, name)
+        cm2 = json.load(open(os.path.join(store, ".zmetadata")))
+        assert cm2["metadata"]["biomass/.zarray"]["shape"][0] == len(SPECIES) + 1
+        assert cm2["metadata"][".zattrs"]["species_codes"][idx] == code
+
     def test_v2_root_attrs_reference_layout(self, spark, tmp_path):
         """ADVICE r4: the reference's ZarrStore reads georeferencing from
         the ROOT group attrs in rasterio Affine order — the v2 store must
