@@ -45,6 +45,7 @@ DRIVER_PRIORITY: list[str] = [
     "zarr_v3_roundtrip",
     "zarr_append_layer",
     "zarr_blosc_roundtrip",
+    "geotiff_strip_scan",
     # oldest-evidence queries — absent from the r04 sample (VERDICT r4 §3)
     "knn_points",
     "caption_check",
@@ -88,7 +89,6 @@ DRIVER_PRIORITY: list[str] = [
     "ann_recall",
     "embedding_cosine_dedup",
     "ingest_roundtrip",
-    "csv_report_roundtrip",
     "export_manifest",
     "bbox_validation",
     "netcdf_coords",
@@ -97,6 +97,7 @@ DRIVER_PRIORITY: list[str] = [
     # or fresh judge-run evidence; the full local gate still runs all of
     # it every round) ---
     "moving_avg_events",
+    "csv_report_roundtrip",
     "zonal_total_biomass",
     "pip_points",
     "metrics_pixel",

@@ -90,6 +90,59 @@ def ingest_raster_dir(
     return files.mapInPandas(build, TILE_SCHEMA)
 
 
+def read_geotiff_strips(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed scan of ONE strip-organized GeoTIFF — the
+    Cloud-Optimized-GeoTIFF range-read pattern: the driver reads ONLY the
+    IFD (tiff.read_geotiff_layout, a tail seek — never the pixel data);
+    each task range-reads and inflates its own strips. Output is dense
+    pixel rows (gx int, gy int, v double), the engine's metric_px shape —
+    so a single huge exported raster scans back at full cluster
+    parallelism instead of through one reader. Pairs with
+    ``sinks.write_geotiff(rows_per_strip=...)``."""
+    import zlib
+
+    from .. import tiff
+
+    lay = tiff.read_geotiff_layout(path)
+    w, comp = int(lay["w"]), int(lay["compression"])
+    bits, sfmt = int(lay["bits"]), int(lay["sfmt"])
+    if (bits, sfmt) == (8, 1):
+        dt = np.dtype(np.uint8)
+    elif (bits, sfmt) == (32, 3):
+        dt = np.dtype("<f4")
+    else:
+        raise ValueError(f"unsupported sample layout bits={bits} fmt={sfmt}")
+    rps, h = int(lay["rows_per_strip"]), int(lay["h"])
+    specs = [
+        (i, int(off), int(cnt), i * rps, min(rps, h - i * rps))
+        for i, (off, cnt) in enumerate(zip(lay["offsets"], lay["counts"]))
+    ]
+    df = spark.createDataFrame(
+        specs, "strip int, off long, cnt long, row0 int, nrows int"
+    )
+    par = min(len(specs), spark.sparkContext.defaultParallelism * 2) or 1
+    df = df.repartition(par)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with open(path, "rb") as fh:
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    fh.seek(r.off)
+                    blob = fh.read(r.cnt)
+                    raw = zlib.decompress(blob) if comp == 8 else blob
+                    arr = np.frombuffer(raw, dt).reshape(int(r.nrows), w)
+                    gy, gx = np.indices(arr.shape)
+                    yield pd.DataFrame(
+                        {
+                            "gx": gx.ravel().astype(np.int32),
+                            "gy": (gy.ravel() + int(r.row0)).astype(np.int32),
+                            "v": arr.ravel().astype(np.float64),
+                        }
+                    )
+
+    return df.mapInPandas(scan, "gx int, gy int, v double")
+
+
 def append_species(existing: DataFrame, new: DataFrame) -> DataFrame:
     """Append new species tiles with alignment validation (the Spark form of
     append_species_to_zarr's transform/bounds allclose + dim checks,

@@ -221,6 +221,7 @@ def write_geotiff(
     path: str,
     strip_h: int = 512,
     return_bytes: bool = True,
+    rows_per_strip: int | None = None,
 ) -> bytes | None:
     """S11 physical GeoTIFF export (ref forest_metrics.py:547-601): the
     metric grid serialized as a genuine single-file GeoTIFF via the
@@ -228,9 +229,12 @@ def write_geotiff(
     float32, affine from the engine's transform, CRS citation in the
     GeoTIFF keys. Sharded like write_netcdf: row bands stream through one
     deflate stream (tiff.encode_geotiff_stream), byte-identical to the
-    whole-grid writer, driver peak O(strip). The distributed raster sink
-    remains metric_to_tiles (one container per tile row). Returns the
-    written bytes for round-trip verification."""
+    whole-grid writer, driver peak O(strip). ``rows_per_strip`` writes a
+    MULTI-STRIP file instead (each band independently deflated, strip
+    offsets in the IFD) — range-readable, and scannable at full cluster
+    parallelism via ``ingest.read_geotiff_strips``. The distributed
+    raster sink remains metric_to_tiles (one container per tile row).
+    Returns the written bytes for round-trip verification."""
     from .. import tiff
 
     with open(path, "wb") as f:
@@ -244,6 +248,7 @@ def write_geotiff(
             Y0,
             PIX,
             CRS,
+            rows_per_strip=rows_per_strip,
         )
     if not return_bytes:
         return None

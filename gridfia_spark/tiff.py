@@ -81,15 +81,20 @@ def encode_geotiff_stream(
     pixel: float,
     crs: str,
     compress: bool = True,
+    rows_per_strip: int | None = None,
 ) -> int:
-    """Streamed single-strip GeoTIFF writer — byte-identical to
-    ``encode_geotiff`` (which is now a BytesIO wrapper over this), but the
-    raster arrives as an iterator of row-band chunks, so peak memory is
-    one chunk: the sharded single-file export path. ``fh`` must be
-    seekable (the IFD offset in the header is patched after the strip
-    data is streamed; a deflate stream's length isn't known up front).
-    Chunked deflate via one ``zlib.compressobj`` produces the exact bytes
-    of ``zlib.compress`` on the concatenated rows. Returns bytes written."""
+    """Streamed GeoTIFF writer. With the default ``rows_per_strip=None``
+    the output is a single strip, byte-identical to ``encode_geotiff``
+    (which is now a BytesIO wrapper over this): chunked deflate via one
+    ``zlib.compressobj`` produces the exact bytes of ``zlib.compress`` on
+    the concatenated rows, and peak memory is one incoming chunk. With
+    ``rows_per_strip`` set the raster is written as INDEPENDENT strips —
+    each deflated separately with its offset/byte-count recorded in the
+    IFD, so readers can range-read any row band without inflating the
+    rest (the Cloud-Optimized-GeoTIFF access pattern, and the layout
+    ``ingest.read_geotiff_strips`` scans distributed); peak memory is
+    max(chunk, one strip). ``fh`` must be seekable (the header's IFD
+    offset is patched after the data streams). Returns bytes written."""
     dtype = np.dtype(dtype)
     if dtype == np.uint8:
         bits, sfmt = 8, 1
@@ -99,28 +104,56 @@ def encode_geotiff_stream(
         raise ValueError(f"unsupported dtype {dtype} (uint8/float32)")
     start = fh.tell()
     fh.write(b"II" + struct.pack("<HI", 42, 0))  # IFD offset patched below
-    comp = zlib.compressobj(6) if compress else None
-    data_len = rows = 0
-    for chunk in chunks:
-        chunk = np.asarray(chunk)
-        if chunk.ndim != 2 or chunk.shape[1] != w:
-            raise ValueError(f"chunk shape {chunk.shape} != (rows, {w})")
-        if chunk.dtype != dtype:
-            raise ValueError(f"chunk dtype {chunk.dtype} != declared {dtype}")
-        rows += chunk.shape[0]
-        raw = np.ascontiguousarray(chunk).tobytes() if dtype == np.uint8 \
-            else chunk.astype("<f4").tobytes()
-        data_len += fh.write(comp.compress(raw)) if compress else fh.write(raw)
+    rowbytes = w * (bits // 8)
+    rows = 0
+    if rows_per_strip is None:
+        comp = zlib.compressobj(6) if compress else None
+        data_len = 0
+        for chunk in chunks:
+            raw, nrows = _chunk_raw(chunk, w, dtype)
+            rows += nrows
+            data_len += fh.write(comp.compress(raw)) if compress else fh.write(raw)
+        if compress:
+            data_len += fh.write(comp.flush())
+        offsets, counts, rps = [8], [data_len], h
+    else:
+        rps = int(rows_per_strip)
+        if rps <= 0:
+            raise ValueError("rows_per_strip must be positive")
+        offsets, counts = [], []
+        buf = bytearray()
+
+        def flush_strip() -> None:
+            raw = bytes(buf[: rps * rowbytes])
+            del buf[: rps * rowbytes]
+            blob = zlib.compress(raw, 6) if compress else raw
+            offsets.append(fh.tell() - start)
+            counts.append(len(blob))
+            fh.write(blob)
+
+        for chunk in chunks:
+            raw, nrows = _chunk_raw(chunk, w, dtype)
+            rows += nrows
+            buf += raw
+            while len(buf) >= rps * rowbytes:
+                flush_strip()
+        if buf:
+            # trailing short strip; the ROWS_PER_STRIP tag keeps the
+            # nominal value (TIFF 6.0 semantics)
+            raw = bytes(buf)
+            blob = zlib.compress(raw, 6) if compress else raw
+            offsets.append(fh.tell() - start)
+            counts.append(len(blob))
+            fh.write(blob)
+        data_len = sum(counts)
     if rows != h:
         raise ValueError(f"chunks carried {rows} rows, height is {h}")
-    if compress:
-        data_len += fh.write(comp.flush())
-    if data_len % 2:
+    if (fh.tell() - start) % 2:
         fh.write(b"\x00")
-    ifd_off = 8 + data_len + (data_len % 2)
+    ifd_off = fh.tell() - start
     fh.write(_ifd_bytes(
-        w, h, bits, sfmt, data_len, compress, origin_x, origin_y, pixel, crs,
-        ifd_off,
+        w, h, bits, sfmt, counts, compress, origin_x, origin_y, pixel, crs,
+        ifd_off, offsets, rps if rows_per_strip is not None else h,
     ))
     end = fh.tell()
     fh.seek(start + 4)
@@ -129,19 +162,48 @@ def encode_geotiff_stream(
     return end - start
 
 
+def _chunk_raw(chunk, w: int, dtype: np.dtype) -> tuple[bytes, int]:
+    chunk = np.asarray(chunk)
+    if chunk.ndim != 2 or chunk.shape[1] != w:
+        raise ValueError(f"chunk shape {chunk.shape} != (rows, {w})")
+    if chunk.dtype != dtype:
+        raise ValueError(f"chunk dtype {chunk.dtype} != declared {dtype}")
+    raw = np.ascontiguousarray(chunk).tobytes() if dtype == np.uint8 \
+        else chunk.astype("<f4").tobytes()
+    return raw, chunk.shape[0]
+
+
 def _ifd_bytes(
     w: int,
     h: int,
     bits: int,
     sfmt: int,
-    data_len: int,
+    strip_counts: list[int],
     compress: bool,
     origin_x: float,
     origin_y: float,
     pixel: float,
     crs: str,
     ifd_off: int,
+    strip_offsets: list[int] | None = None,
+    rows_per_strip: int | None = None,
 ) -> bytes:
+    strip_offsets = strip_offsets or [8]
+    n_strips = len(strip_counts)
+    if rows_per_strip is None:
+        rows_per_strip = h
+    if n_strips == 1:
+        off_entry = (T_STRIP_OFFSETS, TY_LONG, 1, strip_offsets[0])
+        cnt_entry = (T_STRIP_COUNTS, TY_LONG, 1, strip_counts[0])
+    else:
+        off_entry = (
+            T_STRIP_OFFSETS, TY_LONG, n_strips,
+            struct.pack(f"<{n_strips}I", *strip_offsets),
+        )
+        cnt_entry = (
+            T_STRIP_COUNTS, TY_LONG, n_strips,
+            struct.pack(f"<{n_strips}I", *strip_counts),
+        )
     ascii_params = (crs + "|").encode("ascii") + b"\x00"
     geo_keys = [
         (1, 1, 0, 3),  # version 1.1.0, 3 keys
@@ -158,10 +220,10 @@ def _ifd_bytes(
         (T_BITS, TY_SHORT, 1, bits),
         (T_COMPRESSION, TY_SHORT, 1, 8 if compress else 1),
         (T_PHOTOMETRIC, TY_SHORT, 1, 1),  # BlackIsZero
-        (T_STRIP_OFFSETS, TY_LONG, 1, 0),  # patched below
+        off_entry,
         (T_SAMPLES_PER_PX, TY_SHORT, 1, 1),
-        (T_ROWS_PER_STRIP, TY_LONG, 1, h),
-        (T_STRIP_COUNTS, TY_LONG, 1, data_len),
+        (T_ROWS_PER_STRIP, TY_LONG, 1, rows_per_strip),
+        cnt_entry,
         (T_SAMPLE_FORMAT, TY_SHORT, 1, sfmt),
         (T_PIXEL_SCALE, TY_DOUBLE, 3, struct.pack("<3d", pixel, pixel, 0.0)),
         (
@@ -174,14 +236,11 @@ def _ifd_bytes(
         (T_GEO_ASCII, TY_ASCII, len(ascii_params), ascii_params),
     ]
     # layout: header(8) | strip data | IFD | overflow values
-    strip_off = 8
     ifd_size = 2 + 12 * len(entries) + 4
     overflow_off = ifd_off + ifd_size
     overflow = bytearray()
     ifd = bytearray(struct.pack("<H", len(entries)))
     for tag, ty, count, val in sorted(entries, key=lambda e: e[0]):
-        if tag == T_STRIP_OFFSETS:
-            val = strip_off
         if isinstance(val, int):
             if ty == TY_SHORT:
                 inline = struct.pack("<HH", val, 0)
@@ -224,6 +283,86 @@ def _tag_values(buf: bytes, e: str, entry: tuple[int, int, int]):
         return buf[pos : pos + count].rstrip(b"\x00").decode("ascii")
     fmt = {TY_SHORT: "H", TY_LONG: "I", TY_DOUBLE: "d"}[ty]
     return list(struct.unpack_from(f"{e}{count}{fmt}", buf, pos))
+
+
+def read_geotiff_layout(path: str) -> dict:
+    """Strip layout + georeferencing of a GeoTIFF WITHOUT touching the
+    pixel data: seeks straight to the IFD and reads only it (plus any
+    out-of-line tag values) — the driver side of the distributed
+    single-file scan (``ingest.read_geotiff_strips``), and the access
+    shape a Cloud-Optimized-GeoTIFF range reader uses on object stores.
+
+    Returns {w, h, bits, sfmt, compression, rows_per_strip, offsets,
+    counts, pixel, origin, crs}."""
+    import os
+
+    with open(path, "rb") as fh:
+        head = fh.read(8)
+        if head[:2] == b"II":
+            e = "<"
+        elif head[:2] == b"MM":
+            e = ">"
+        else:
+            raise ValueError("not a TIFF (bad byte-order mark)")
+        magic, ifd_off = struct.unpack_from(f"{e}HI", head, 2)
+        if magic != 42:
+            raise ValueError("not a TIFF (bad magic)")
+        fh.seek(ifd_off)
+        tail = fh.read()  # IFD + trailing value area (this writer's layout)
+
+        def tail_or_seek(pos: int, size: int) -> bytes:
+            if pos >= ifd_off:
+                chunk = tail[pos - ifd_off : pos - ifd_off + size]
+            else:  # value stored before the IFD — one extra range read
+                fh.seek(pos)
+                chunk = fh.read(size)
+            if len(chunk) < size:
+                raise ValueError("truncated TIFF tag value")
+            return chunk
+
+        (n,) = struct.unpack_from(f"{e}H", tail, 0)
+        tags: dict[int, tuple[int, int, int]] = {}
+        for i in range(n):
+            tag, ty, count = struct.unpack_from(f"{e}HHI", tail, 2 + 12 * i)
+            tags[tag] = (ty, count, ifd_off + 2 + 12 * i + 8)
+
+        def val(tag, default=None):
+            if tag not in tags:
+                if default is not None:
+                    return default
+                raise ValueError(f"missing required TIFF tag {tag}")
+            ty, count, value_pos = tags[tag]
+            size = _TYPE_SIZE[ty] * count
+            if size > 4:
+                (off,) = struct.unpack(f"{e}I", tail_or_seek(value_pos, 4))
+                raw = tail_or_seek(off, size)
+            else:
+                raw = tail_or_seek(value_pos, size)
+            if ty == TY_ASCII:
+                return raw.rstrip(b"\x00").decode("ascii")
+            fmt = {TY_SHORT: "H", TY_LONG: "I", TY_DOUBLE: "d"}[ty]
+            return list(struct.unpack(f"{e}{count}{fmt}", raw))
+
+        w, h = val(T_WIDTH)[0], val(T_HEIGHT)[0]
+        out = {
+            "w": w,
+            "h": h,
+            "bits": val(T_BITS, [8])[0],
+            "sfmt": val(T_SAMPLE_FORMAT, [1])[0],
+            "compression": val(T_COMPRESSION, [1])[0],
+            "rows_per_strip": val(T_ROWS_PER_STRIP, [h])[0],
+            "offsets": val(T_STRIP_OFFSETS),
+            "counts": val(T_STRIP_COUNTS),
+        }
+        if T_PIXEL_SCALE in tags and T_TIEPOINT in tags:
+            sx, sy, _ = val(T_PIXEL_SCALE)
+            tie = val(T_TIEPOINT)
+            out["pixel"] = sx
+            out["origin"] = (tie[3] - tie[0] * sx, tie[4] + tie[1] * sy)
+        if T_GEO_ASCII in tags:
+            out["crs"] = val(T_GEO_ASCII).split("|")[0]
+        assert os.path.getsize(path) >= out["offsets"][-1] + out["counts"][-1]
+        return out
 
 
 def decode_geotiff(data: bytes) -> tuple[np.ndarray, dict]:

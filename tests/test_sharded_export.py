@@ -98,6 +98,45 @@ class TestShardedExport:
         assert _sha(str(tmp_path / f"m{h}.nc")) == _sha(str(tmp_path / "m12.nc"))
         df.unpersist()
 
+    def test_multistrip_geotiff_layout_and_distributed_scan(
+        self, spark, rich, tmp_path
+    ):
+        """rows_per_strip writes independently-deflated strips (COG-style
+        range-readable); read_geotiff_strips scans them back distributed
+        (driver touches only the IFD) to the exact dense pixel table."""
+        from gridfia_spark.sources import ingest
+
+        p = str(tmp_path / "ms.tif")
+        sinks.write_geotiff(
+            rich, "richness", SPEC.gw, SPEC.gh, p,
+            strip_h=16, rows_per_strip=10, return_bytes=False,
+        )
+        lay = tiff.read_geotiff_layout(p)
+        n_strips = -(-SPEC.gh // 10)
+        assert lay["rows_per_strip"] == 10
+        assert len(lay["offsets"]) == len(lay["counts"]) == n_strips
+        assert lay["origin"] == (-2_000_000.0, -900_000.0)
+        # a strip is independently decodable from its byte range alone
+        import zlib
+
+        with open(p, "rb") as fh:
+            fh.seek(lay["offsets"][1])
+            raw = zlib.decompress(fh.read(lay["counts"][1]))
+        assert len(raw) == 10 * SPEC.gw * 4
+        # whole-file decode agrees with the single-strip writer's content
+        arr_ms, _ = tiff.decode_geotiff(open(p, "rb").read())
+        p1 = str(tmp_path / "ss.tif")
+        sinks.write_geotiff(rich, "richness", SPEC.gw, SPEC.gh, p1,
+                            return_bytes=False)
+        arr_ss, _ = tiff.decode_geotiff(open(p1, "rb").read())
+        np.testing.assert_array_equal(arr_ms, arr_ss)
+        # distributed range-read scan reproduces the dense pixel table
+        px = ingest.read_geotiff_strips(spark, p).toPandas()
+        assert len(px) == SPEC.gw * SPEC.gh
+        got = np.zeros((SPEC.gh, SPEC.gw), dtype=np.float64)
+        got[px.gy, px.gx] = px.v
+        np.testing.assert_array_equal(got, arr_ss.astype(np.float64))
+
     def test_int_overflow_refuses_before_writing(self, spark, tmp_path):
         df = spark.createDataFrame(
             [(0, 0, 2**35)], "gx int, gy int, m long"
