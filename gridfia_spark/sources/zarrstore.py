@@ -370,8 +370,12 @@ class ZarrMeta(NamedTuple):
     version: int
     shape: list[int]
     chunks: list[int]
-    compressor: str | None  # "zlib" (v2) | "gzip" (v3) | None (raw)
+    compressor: str | None  # "zlib" | "gzip" | "blosc" | None (raw)
     attrs: dict  # root attrs overlaid with array attrs
+    # chunk-key encoding: ("v2", ".") flat i.j.k names (all v2 stores),
+    # ("default", "/") nested c/i/j/k (v3 default), ("default", ".")
+    # flat c.i.j.k, ("v2", "/") nested i/j/k
+    key_enc: tuple[str, str] = ("v2", ".")
 
 
 def zarr_meta(path: str, array: str | None = None) -> ZarrMeta:
@@ -403,9 +407,14 @@ def zarr_meta(path: str, array: str | None = None) -> ZarrMeta:
     if grid.get("name") != "regular":
         raise ValueError("unsupported v3 chunk grid (regular only)")
     enc = doc.get("chunk_key_encoding", {"name": "default"})
-    sep = enc.get("configuration", {}).get("separator", "/")
-    if enc.get("name") != "default" or sep != "/":
-        raise ValueError("unsupported v3 chunk key encoding (default '/' only)")
+    enc_name = enc.get("name", "default")
+    sep = enc.get("configuration", {}).get("separator",
+                                           "/" if enc_name == "default" else ".")
+    # "default": keys are c<sep>i<sep>j<sep>k; "v2": bare i.j.k names
+    if enc_name not in ("default", "v2") or sep not in ("/", "."):
+        raise ValueError(
+            f"unsupported v3 chunk key encoding {enc_name!r} sep {sep!r}"
+        )
     chain = doc.get("codecs", [])
     names = [c.get("name") for c in chain]
     if not chain or names[0] != "bytes":
@@ -433,6 +442,7 @@ def zarr_meta(path: str, array: str | None = None) -> ZarrMeta:
         3, list(doc["shape"]), list(grid["configuration"]["chunk_shape"]),
         comp,
         {**root_attrs, **doc.get("attributes", {})},
+        (enc_name, sep),
     )
 
 
@@ -484,23 +494,30 @@ def read_zarr_store(
         )
         codes[i] = (c, nm)
     reader = spark.read.format("binaryFile")
-    if m.version == 2:
-        if species is None:
-            glob = "[0-9]*"
-        elif len(species) == 1:
-            glob = f"{int(species[0])}.*"
+    enc_name, sep = m.key_enc
+    adir = os.path.join(path, array)
+    wanted = sorted({int(s) for s in species}) if species is not None else None
+    if sep == ".":
+        # flat names in the array dir: i.j.k (v2 encoding) or c.i.j.k
+        pre = "c." if enc_name == "default" else ""
+        if wanted is None:
+            glob = f"{pre}[0-9]*"
+        elif len(wanted) == 1:
+            glob = f"{pre}{wanted[0]}.*"
         else:
-            glob = "{" + ",".join(str(int(s)) for s in sorted(set(species))) + "}.*"
-        files = reader.option("pathGlobFilter", glob).load(os.path.join(path, array))
+            glob = pre + "{" + ",".join(str(s) for s in wanted) + "}.*"
+        files = reader.option("pathGlobFilter", glob).load(adir)
     else:
-        cdir = os.path.join(path, array, "c")
-        reader = reader.option("recursiveFileLookup", "true")
-        if species is None:
-            files = reader.load(cdir)
+        # nested keys: c/i/j/k (v3 default) or i/j/k (v2 encoding) —
+        # species pruning happens at the DIRECTORY listing level
+        base = os.path.join(adir, "c") if enc_name == "default" else adir
+        reader = reader.option("recursiveFileLookup", "true").option(
+            "pathGlobFilter", "[0-9]*"  # leaf is the tx index; skips zarr.json
+        )
+        if wanted is None:
+            files = reader.load(base)
         else:
-            files = reader.load(
-                [os.path.join(cdir, str(int(s))) for s in sorted(set(species))]
-            )
+            files = reader.load([os.path.join(base, str(s)) for s in wanted])
     files = files.select("path", "content")
     # chunk files are tiny (a compressed tile each) but the default
     # open-cost packing schedules ~one file per task — at 10^5 chunks that
@@ -510,7 +527,8 @@ def read_zarr_store(
     target = spark.sparkContext.defaultParallelism * 4
     if files.rdd.getNumPartitions() > target:
         files = files.coalesce(target)
-    v3 = m.version == 3
+    nested = sep == "/"
+    strip_c = enc_name == "default" and not nested
 
     def rd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .. import blosc as _blosc
@@ -518,11 +536,14 @@ def read_zarr_store(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                if v3:
+                if nested:
                     s, cy, cx = (int(x) for x in r.path.rsplit("/", 3)[-3:])
                 else:
                     name = r.path.rsplit("/", 1)[-1]
-                    s, cy, cx = (int(x) for x in name.split("."))
+                    parts = name.split(".")
+                    if strip_c:
+                        parts = parts[1:]
+                    s, cy, cx = (int(x) for x in parts)
                 raw = bytes(r.content)
                 if compressor == "zlib":
                     raw = zlib.decompress(raw)

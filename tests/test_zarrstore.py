@@ -187,6 +187,49 @@ class TestZarrV3:
         assert len(two.inputFiles()) == 2 * per_layer
         assert two.count() == 2 * per_layer
 
+    @pytest.mark.parametrize("enc,sep", [("default", "."), ("v2", "."), ("v2", "/")])
+    def test_v3_alternate_chunk_key_encodings(self, spark, tmp_path, enc, sep):
+        """v3 stores configured with the '.' separator or the 'v2'
+        chunk-key encoding (both spec-legal) must read back identically,
+        including species pruning."""
+        import shutil
+
+        from gridfia_spark.constants import spec_for_sf_dir
+
+        spec = spec_for_sf_dir(SF_DIR)
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "enc.zarr")
+        zarrstore.write_zarr_store(tiles, store, zarr_format=3)
+        adir = os.path.join(store, "biomass")
+        # rewrite the chunk tree into the target encoding
+        cdir = os.path.join(adir, "c")
+        for s in os.listdir(cdir):
+            for ty in os.listdir(os.path.join(cdir, s)):
+                for tx in os.listdir(os.path.join(cdir, s, ty)):
+                    src = os.path.join(cdir, s, ty, tx)
+                    if sep == ".":
+                        pre = "c." if enc == "default" else ""
+                        dst = os.path.join(adir, f"{pre}{s}.{ty}.{tx}")
+                    else:
+                        dst = os.path.join(adir, s, ty, tx)
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.move(src, dst)
+        shutil.rmtree(cdir)
+        zj = os.path.join(adir, "zarr.json")
+        doc = json.load(open(zj))
+        doc["chunk_key_encoding"] = {"name": enc, "configuration": {"separator": sep}}
+        json.dump(doc, open(zj, "w"))
+        m = zarrstore.zarr_meta(store)
+        assert m.key_enc == (enc, sep)
+        back = zarrstore.read_zarr_store(spark, store)
+        a = {r.image_id: r.phash for r in tiles.select("image_id", "phash").collect()}
+        b = {r.image_id: r.phash for r in back.select("image_id", "phash").collect()}
+        assert a == b
+        per_layer = spec.tiles_x * spec.tiles_y
+        one = zarrstore.read_zarr_store(spark, store, species=[2])
+        assert len(one.inputFiles()) == per_layer
+        assert one.count() == per_layer
+
     def test_v3_unsupported_codecs_rejected_loudly(self, spark, tmp_path):
         """Codec chains outside bytes[+gzip|+blosc-lz4] must refuse,
         never silently misdecode."""
