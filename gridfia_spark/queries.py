@@ -87,9 +87,9 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_norms",
     "cosine_topk",
     "ann_recall",
+    "ivf_trained_contract",
     "embedding_cosine_dedup",
     "ingest_roundtrip",
-    "export_manifest",
     "bbox_validation",
     "netcdf_coords",
     "netcdf_variable",
@@ -98,6 +98,7 @@ DRIVER_PRIORITY: list[str] = [
     # it every round) ---
     "moving_avg_events",
     "csv_report_roundtrip",
+    "export_manifest",
     "zonal_total_biomass",
     "pip_points",
     "metrics_pixel",
