@@ -44,6 +44,14 @@ zk = zonal_skewed(spark, "/root/testdata/sf0.001").toPandas()
 zk = zk.sort_values("poly_id", ignore_index=True)
 wb = webp_tile_stats(spark, "/root/testdata/sf0.001").toPandas()
 wb = wb.sort_values("image_id", ignore_index=True)
+# round-5: blosc store roundtrip (pure-python LZ4 chunks written by many
+# tasks) and the COG strip scan (range-read partitioning changes with
+# cores) must both be invariant
+from gridfia_spark.queries_io import zarr_blosc_roundtrip, geotiff_strip_scan
+zb = zarr_blosc_roundtrip(spark, "/root/testdata/sf0.001").toPandas()
+zb = zb.sort_values("image_id", ignore_index=True)
+gs = geotiff_strip_scan(spark, "/root/testdata/sf0.001").toPandas()
+gs = gs.sort_values("strip", ignore_index=True)
 print("RESULT" + json.dumps({{"zonal": pdf.to_dict("records"),
                               "pct": pct.to_dict("records"),
                               "wav": wav.to_dict("records"),
@@ -51,7 +59,9 @@ print("RESULT" + json.dumps({{"zonal": pdf.to_dict("records"),
                               "pack": sp.to_dict("records"),
                               "quartiles": sq.to_dict("records"),
                               "skewed": zk.to_dict("records"),
-                              "webp": wb.to_dict("records")}}))
+                              "webp": wb.to_dict("records"),
+                              "blosc": zb.to_dict("records"),
+                              "stripscan": gs.to_dict("records")}}))
 spark.stop()
 """
 
