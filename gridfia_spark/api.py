@@ -117,6 +117,28 @@ class GridFIASpark:
 
         return zarrstore.read_zarr_store(self.spark, path, species=species)
 
+    def validate_zarr(self, path: str) -> dict:
+        """Validate + summarize an on-disk store (ref api.validate_zarr /
+        validate_zarr_store, zarr_utils.py:1028-1065): same summary keys
+        plus a chunk census and errors list; works on both dialects."""
+        from .sources import zarrstore
+
+        return zarrstore.validate_store(path)
+
+    def list_species(self) -> list[dict]:
+        """The species universe as {index, code, name} rows (ref
+        api.list_species; the engine's universe is the deterministic
+        SPECIES contract rather than a network catalog)."""
+        from .constants import SPECIES
+
+        return [
+            {"index": i, "code": c, "name": n} for i, (c, n) in enumerate(SPECIES)
+        ]
+
+    def list_calculations(self) -> list[str]:
+        """Registered calculation names (ref api.list_calculations)."""
+        return sorted(_CALC_TABLE)
+
     # ----------------------------------------------------------- analytics
     def calculate_metrics(
         self,

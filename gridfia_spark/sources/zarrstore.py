@@ -575,6 +575,76 @@ def read_zarr_store(
     return files.mapInPandas(rd, TILE_SCHEMA)
 
 
+def validate_store(path: str, array: str | None = None) -> dict:
+    """Validate and summarize an on-disk store, either dialect — the
+    engine form of the reference's ``validate_zarr_store``
+    (zarr_utils.py:1028-1065): same summary keys (path/shape/chunks/
+    dtype/compression/num_species/crs/bounds/species) plus a chunk-file
+    census (expected vs found per layer) and an ``errors`` list; purely
+    driver-side metadata + listing work, no chunk is opened."""
+    info: dict = {"path": path, "errors": []}
+    try:
+        version = detect_zarr_format(path)
+        if array is None:
+            array = find_array(path)
+        m = zarr_meta(path, array)
+    except (OSError, ValueError, KeyError) as exc:
+        info["errors"].append(str(exc))
+        info["valid"] = False
+        return info
+    n_layers, gh, gw = (int(x) for x in m.shape)
+    _, th, tw = (int(c) for c in m.chunks)
+    root = _read_root_attrs(path, version)
+    info.update(
+        shape=tuple(m.shape),
+        chunks=tuple(m.chunks),
+        dtype="float32",
+        compression=m.compressor,
+        num_species=int(m.attrs.get("num_species", n_layers)),
+        crs=root.get("crs"),
+        bounds=root.get("bounds"),
+        species=[],
+    )
+    codes = m.attrs.get("species_codes", [])
+    names_l = m.attrs.get("species_names", [])
+    for i in range(min(info["num_species"], len(codes))):
+        nm = names_l[i] if i < len(names_l) else dict(SPECIES).get(codes[i], codes[i])
+        info["species"].append({"index": i, "code": str(codes[i]), "name": str(nm)})
+    # chunk-file census per layer (listing only — no chunk opened)
+    per_layer = (-(-gh // th)) * (-(-gw // tw))
+    enc_name, sep = m.key_enc
+    adir = os.path.join(path, array)
+    found: dict[int, int] = {}
+    if sep == ".":
+        pre = "c." if enc_name == "default" else ""
+        for name in os.listdir(adir):
+            if pre and not name.startswith(pre):
+                continue
+            parts = name[len(pre):].split(".")
+            if len(parts) == 3 and all(p.isdigit() for p in parts):
+                found[int(parts[0])] = found.get(int(parts[0]), 0) + 1
+    else:
+        base = os.path.join(adir, "c") if enc_name == "default" else adir
+        if os.path.isdir(base):
+            for s in os.listdir(base):
+                if not s.isdigit():
+                    continue
+                n = sum(
+                    len(files)
+                    for _, _, files in os.walk(os.path.join(base, s))
+                )
+                found[int(s)] = n
+    info["chunks_per_layer_expected"] = per_layer
+    info["chunks_per_layer_found"] = dict(sorted(found.items()))
+    for s, n in found.items():
+        if s >= n_layers:
+            info["errors"].append(f"layer {s} outside declared shape {n_layers}")
+        elif n > per_layer:
+            info["errors"].append(f"layer {s}: {n} chunks > expected {per_layer}")
+    info["valid"] = not info["errors"]
+    return info
+
+
 def append_layer(
     tiles: DataFrame,
     path: str,

@@ -360,6 +360,44 @@ class TestBloscStores:
         assert {r.image_id[2:6] for r in back.collect()} == {code}
 
 
+class TestValidateStore:
+    @pytest.mark.parametrize("vfmt", [2, 3])
+    def test_summary_shape_matches_reference(self, spark, tmp_path, vfmt):
+        """ref validate_zarr_store (zarr_utils.py:1028-1065) summary keys
+        + chunk census; listing-only (no chunk opened)."""
+        from gridfia_spark.constants import SPECIES, spec_for_sf_dir
+
+        spec = spec_for_sf_dir(SF_DIR)
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / f"v{vfmt}.zarr")
+        zarrstore.write_zarr_store(tiles, store, zarr_format=vfmt)
+        info = zarrstore.validate_store(store)
+        assert info["valid"] and info["errors"] == []
+        assert info["shape"] == (len(SPECIES), spec.gh, spec.gw)
+        assert info["chunks"] == (1, spec.tile_h, spec.tile_w)
+        assert info["num_species"] == len(SPECIES)
+        assert info["crs"] == "ESRI:102039" and len(info["bounds"]) == 4
+        assert [s["code"] for s in info["species"]] == [c for c, _ in SPECIES]
+        per = spec.tiles_x * spec.tiles_y
+        assert info["chunks_per_layer_expected"] == per
+        assert info["chunks_per_layer_found"] == {
+            i: per for i in range(len(SPECIES))
+        }
+        # a stray out-of-shape chunk flips valid
+        if vfmt == 2:
+            open(os.path.join(store, "biomass", "9.0.0"), "wb").write(b"x")
+        else:
+            d = os.path.join(store, "biomass", "c", "9", "0")
+            os.makedirs(d)
+            open(os.path.join(d, "0"), "wb").write(b"x")
+        bad = zarrstore.validate_store(store)
+        assert not bad["valid"] and "outside declared shape" in bad["errors"][0]
+
+    def test_broken_store_reports_errors(self, tmp_path):
+        info = zarrstore.validate_store(str(tmp_path))
+        assert not info["valid"] and info["errors"]
+
+
 class TestAppendLayer:
     @pytest.mark.parametrize("vfmt", [2, 3])
     def test_append_lifecycle(self, spark, tmp_path, vfmt):
