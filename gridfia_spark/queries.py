@@ -88,14 +88,15 @@ DRIVER_PRIORITY: list[str] = [
     "cosine_topk",
     "ann_recall",
     "ivf_trained_contract",
+    "mixture_sample",
     "embedding_cosine_dedup",
     "ingest_roundtrip",
     "bbox_validation",
     "netcdf_coords",
-    "netcdf_variable",
     # --- 50-sample boundary (everything below has green r04 driver rows
     # or fresh judge-run evidence; the full local gate still runs all of
     # it every round) ---
+    "netcdf_variable",
     "moving_avg_events",
     "csv_report_roundtrip",
     "export_manifest",

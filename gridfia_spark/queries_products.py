@@ -1859,6 +1859,59 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_mixture(sf_dir: str) -> str:
+    # per-source rate from the engine-portable polynomial string hash
+    # (verified bit-equal Spark aggregate() vs DuckDB list_reduce);
+    # per-doc selection from the multiplicative doc_id hash — all exact
+    # int64, so both engines pick the IDENTICAL document set
+    return """WITH r AS (
+  SELECT doc_id, n_chars, source,
+    (20 + list_reduce(list_prepend(17::BIGINT,
+        list_transform(generate_series(1, length(source)),
+                       i -> ascii(substr(source, i::INT, 1))::BIGINT)),
+        (a, b) -> (a * 31 + b) % 2147483647) % 61)::BIGINT AS rate,
+    ((doc_id * 2654435761) % 2147483648) % 100 AS bucket
+  FROM documents
+)
+SELECT source, MIN(rate)::BIGINT AS rate_pct,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END)::BIGINT AS n_selected,
+       SUM(CASE WHEN bucket < rate THEN n_chars ELSE 0 END)::BIGINT AS sel_chars
+FROM r GROUP BY source"""
+
+
+@q("mixture_sample", _o_mixture)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: each source (domain) contributes at its
+    own target rate — the data-mixing stage of an LLM corpus pipeline
+    (domain reweighting), done as a DETERMINISTIC per-row predicate:
+    rate(source) from the portable polynomial string hash, membership
+    from the multiplicative doc_id hash. No rand(), no sampleBy seeds —
+    the same mixture reproduces across runs, engines, and cluster sizes,
+    and at 100 TB the sampled write is a map-side filter (zero shuffle;
+    the only exchange here is the tiny per-source report aggregation)."""
+    docs = _t(spark, sf_dir, "documents")
+    srchash = F.expr(
+        "aggregate(transform(sequence(1, length(source)), "
+        "i -> ascii(substring(source, i, 1))), 17L, "
+        "(a, c) -> (a * 31 + cast(c as long)) % 2147483647)"
+    )
+    rate = (F.lit(20) + srchash % 61).cast("long")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648) % 100
+    sel = (bucket < F.col("rate")).cast("long")
+    return (
+        docs.withColumn("rate", rate)
+        .withColumn("sel", sel)
+        .groupBy("source")
+        .agg(
+            F.min("rate").alias("rate_pct"),
+            F.count("*").alias("n_docs"),
+            F.sum("sel").alias("n_selected"),
+            F.sum(F.col("sel") * F.col("n_chars")).alias("sel_chars"),
+        )
+    )
+
+
 def _o_corpus_validate(sf_dir: str) -> str:
     return """SELECT COUNT(*)::BIGINT AS n_docs,
        SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_text,
