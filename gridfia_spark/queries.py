@@ -42,6 +42,8 @@ def q(name: str, oracle: Callable[[str], str] | None):
 # registry, so nothing is ever dropped from the local gate.
 DRIVER_PRIORITY: list[str] = [
     # round-5 additions (no driver row yet)
+    "repetition_filter",
+    "pii_scrub",
     "zarr_v3_roundtrip",
     "zarr_append_layer",
     "zarr_blosc_roundtrip",

@@ -1912,6 +1912,164 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_repetition(sf_dir: str) -> str:
+    # exact integer gram counts on both sides; the flag threshold is the
+    # integer cross-multiplication d5*10 > n5 (dup-5-gram fraction > 0.1)
+    # so no float ever enters the comparison
+    return r"""WITH t AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, source,
+    CASE WHEN len(toks) >= 2 THEN list_transform(
+      generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])
+    ELSE [] END AS g2,
+    CASE WHEN len(toks) >= 5 THEN list_transform(
+      generate_series(1, len(toks)-4), i -> array_to_string(toks[i:i+4], ' '))
+    ELSE [] END AS g5
+  FROM t
+), d AS (
+  SELECT source,
+    len(g2) AS n2, len(g2) - len(list_distinct(g2)) AS d2,
+    len(g5) AS n5, len(g5) - len(list_distinct(g5)) AS d5
+  FROM g
+)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+  SUM(n2)::BIGINT AS n2_grams, SUM(d2)::BIGINT AS n2_dup,
+  SUM(n5)::BIGINT AS n5_grams, SUM(d5)::BIGINT AS n5_dup,
+  SUM(CASE WHEN d5 * 10 > n5 THEN 1 ELSE 0 END)::BIGINT AS n_flagged
+FROM d GROUP BY source"""
+
+
+@q("repetition_filter", _o_repetition)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (the Gopher-rules repetition
+    signal, Rae et al. 2021 §A1.1): per doc, the duplicate word-2-gram and
+    word-5-gram fractions; a doc is flagged when >10% of its 5-gram
+    occurrences are repeats. Entirely map-side JVM array functions
+    (transform/array_distinct) — no explode, no per-gram shuffle; the only
+    exchange is the tiny per-source report. Dup fractions stay exact
+    integers (count - distinct) and the flag is the integer
+    cross-multiplication d5*10 > n5, so results are bit-stable across
+    engines and parallelism."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("doc_id", "source", toks.alias("toks"))
+    # guard: Spark sequence(1, n) DESCENDS when n < 1 — never emit it
+    g2 = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks)-1), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g5 = F.when(
+        F.size("toks") >= 5,
+        F.expr(
+            "transform(sequence(1, size(toks)-4), "
+            "i -> concat_ws(' ', slice(toks, i, 5)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select("source", g2.alias("g2"), g5.alias("g5")).select(
+        "source",
+        F.size("g2").cast("long").alias("n2"),
+        (F.size("g2") - F.size(F.array_distinct("g2"))).cast("long").alias("d2"),
+        F.size("g5").cast("long").alias("n5"),
+        (F.size("g5") - F.size(F.array_distinct("g5"))).cast("long").alias("d5"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n2").alias("n2_grams"),
+        F.sum("d2").alias("n2_dup"),
+        F.sum("n5").alias("n5_grams"),
+        F.sum("d5").alias("n5_dup"),
+        F.sum(
+            F.when(F.col("d5") * 10 > F.col("n5"), 1).otherwise(0)
+        ).alias("n_flagged"),
+    )
+
+
+def _o_pii_scrub(sf_dir: str) -> str:
+    # both engines apply the SAME deterministic augmentation (seeded
+    # emails/phones keyed on doc_id) before scrubbing, so the redaction
+    # counts are oracle-checkable even though the raw corpus has no PII
+    return r"""WITH aug AS (
+  SELECT doc_id, source,
+    text
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+         ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-0142 ext 9' ELSE '' END
+    AS text2
+  FROM documents
+), s AS (
+  SELECT source,
+    len(regexp_extract_all(text2, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+    len(regexp_extract_all(text2, '\d{3}-\d{4}')) AS n_phones,
+    length(text2) - length(
+      regexp_replace(
+        regexp_replace(text2, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        '\d{3}-\d{4}', '<PHONE>', 'g')) AS chars_removed
+  FROM aug
+)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+  SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)::BIGINT
+    AS n_docs_with_pii,
+  SUM(n_emails)::BIGINT AS n_emails,
+  SUM(n_phones)::BIGINT AS n_phones,
+  SUM(chars_removed)::BIGINT AS chars_removed
+FROM s GROUP BY source"""
+
+
+@q("pii_scrub", _o_pii_scrub)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction scrub — the privacy pass of a training-data
+    pipeline: regex-detect emails/phone fragments, replace with typed
+    placeholder tokens, report per-source detection counts and the exact
+    character delta. The corpus is word-salad with no organic PII, so both
+    engines first apply the same deterministic augmentation (doc_id-keyed
+    synthetic emails/phones — the r2 seeded-duplicates oracle trick).
+    Map-side regexp_count/regexp_replace (JVM, whole-stage codegen); the
+    only shuffle is the per-source report aggregation. At 100 TB the
+    redacted-text write is a pure map stage."""
+    docs = _t(spark, sf_dir, "documents")
+    email_re = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone_re = r"\d{3}-\d{4}"
+    text2 = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-0142 ext 9")).otherwise(
+            F.lit("")
+        ),
+    )
+    a = docs.select("source", text2.alias("text2"))
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text2"), email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    s = a.select(
+        "source",
+        F.regexp_count(F.col("text2"), F.lit(email_re)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text2"), F.lit(phone_re)).cast("long").alias("n_phones"),
+        (F.length("text2") - F.length(red)).cast("long").alias("chars_removed"),
+    )
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_emails") + F.col("n_phones") > 0, 1).otherwise(0)
+        ).alias("n_docs_with_pii"),
+        F.sum("n_emails").alias("n_emails"),
+        F.sum("n_phones").alias("n_phones"),
+        F.sum("chars_removed").alias("chars_removed"),
+    )
+
+
 def _o_corpus_validate(sf_dir: str) -> str:
     return """SELECT COUNT(*)::BIGINT AS n_docs,
        SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_text,

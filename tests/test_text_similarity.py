@@ -399,3 +399,33 @@ class TestIvfIndexPersistence:
             (r.id_a, r.id_b) for r in ph.near_dup_pairs(bands, 3).collect()
         }
         assert capped == full
+
+
+class TestRepetitionFilter:
+    def test_short_docs_and_flagging(self, spark):
+        """The Gopher repetition signal: docs with <5 (or <2) tokens
+        produce zero grams rather than tripping Spark's descending
+        sequence(); a run-on repeated phrase is flagged, clean text is
+        not. Mirrors the queries_products.repetition_filter math."""
+        from gridfia_spark.queries_products import repetition_filter
+
+        rows = [
+            (0, "one", "short"),           # 1 token: no 2-grams, no 5-grams
+            (1, "a b c d", "short"),       # 4 tokens: 2-grams only
+            (2, "spam ham " * 30, "rep"),  # heavy repetition -> flagged
+            (3, " ".join(f"w{i}" for i in range(40)), "clean"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        import gridfia_spark.queries_products as QP
+
+        orig = QP._t
+        QP._t = lambda s, d, name: df  # feed the fixture corpus
+        try:
+            out = {r.source: r.asDict() for r in repetition_filter(spark, "x").collect()}
+        finally:
+            QP._t = orig
+        assert out["short"]["n5_grams"] == 0 and out["short"]["n2_grams"] == 3
+        assert out["short"]["n_flagged"] == 0
+        assert out["rep"]["n_flagged"] == 1
+        assert out["rep"]["n5_dup"] > 0
+        assert out["clean"]["n_flagged"] == 0 and out["clean"]["n5_dup"] == 0
