@@ -44,6 +44,7 @@ DRIVER_PRIORITY: list[str] = [
     # round-5 additions (no driver row yet)
     "repetition_filter",
     "pii_scrub",
+    "c4_line_filter",
     "zarr_v3_roundtrip",
     "zarr_append_layer",
     "zarr_blosc_roundtrip",

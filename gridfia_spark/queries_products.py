@@ -2070,6 +2070,113 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_c4_filter(sf_dir: str) -> str:
+    # Both engines apply the SAME deterministic line augmentation (the
+    # corpus is word-salad with no sentence structure): tokens are cut
+    # into pseudo-lines of width 4 + doc_id % 5; a terminal '.' lands on
+    # lines where (i + doc_id) % 3 != 0; docs with doc_id % 13 == 0 get a
+    # 'lorem ipsum' line 0 and doc_id % 17 == 0 an appended '{' on line 1.
+    # All counts are exact integers.
+    return r"""WITH t AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks,
+         (4 + doc_id % 5)::BIGINT AS w
+  FROM documents
+), l AS (
+  SELECT doc_id, source,
+    list_transform(
+      generate_series(0, ((len(toks) + w - 1) // w) - 1),
+      i -> (CASE
+              WHEN doc_id % 13 = 0 AND i = 0 THEN 'lorem ipsum dolor sit'
+              WHEN doc_id % 17 = 0 AND i = 1
+                THEN array_to_string(toks[i*w+1 : i*w+w], ' ') || ' {'
+              ELSE array_to_string(toks[i*w+1 : i*w+w], ' ')
+            END)
+           || (CASE WHEN (i + doc_id) % 3 <> 0 THEN '.' ELSE '' END)
+    ) AS lines
+  FROM t
+), f AS (
+  SELECT doc_id, source, len(lines) AS n_lines,
+    len(list_filter(lines,
+        x -> ends_with(x, '.') AND len(string_split(x, ' ')) >= 5)) AS n_kept,
+    COALESCE(list_sum(list_transform(
+        list_filter(lines,
+          x -> ends_with(x, '.') AND len(string_split(x, ' ')) >= 5),
+        x -> length(x))), 0)::BIGINT AS kept_chars,
+    len(list_filter(lines,
+        x -> contains(x, 'lorem ipsum') OR contains(x, '{'))) AS n_bad
+  FROM l
+)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+  SUM(CASE WHEN n_bad = 0 AND n_kept >= 3 THEN 1 ELSE 0 END)::BIGINT
+    AS n_docs_kept,
+  SUM(n_lines)::BIGINT AS n_lines,
+  SUM(CASE WHEN n_bad = 0 AND n_kept >= 3 THEN n_kept ELSE 0 END)::BIGINT
+    AS n_lines_kept,
+  SUM(CASE WHEN n_bad = 0 AND n_kept >= 3 THEN kept_chars ELSE 0 END)::BIGINT
+    AS chars_kept
+FROM f GROUP BY source"""
+
+
+@q("c4_line_filter", _o_c4_filter)
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line/document cleaning (Raffel et al. 2020 §2.2): keep
+    only lines that end in terminal punctuation AND have >= 5 words; drop
+    whole documents that contain 'lorem ipsum' or a '{', or that retain
+    fewer than 3 lines. The word-salad corpus has no sentence structure,
+    so both engines first apply the same deterministic pseudo-line
+    augmentation keyed on doc_id (the pii_scrub oracle trick). The whole
+    pass is map-side JVM higher-order array functions — no explode, no
+    per-line shuffle; at 100 TB the cleaned-text write is a pure map
+    stage and the only exchange is the tiny per-source report."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+        (F.lit(4) + F.col("doc_id") % 5).cast("long").alias("w"),
+    )
+    # guard: Spark sequence(0, n) DESCENDS when n < 0 — never emit it
+    lines = F.when(
+        F.size("toks") >= 1,
+        F.expr(
+            "transform(sequence(0, cast((size(toks) + w - 1) div w as int) - 1), "
+            "i -> concat("
+            "  CASE"
+            "    WHEN doc_id % 13 = 0 AND i = 0 THEN 'lorem ipsum dolor sit'"
+            "    WHEN doc_id % 17 = 0 AND i = 1"
+            "      THEN concat(concat_ws(' ', slice(toks, cast(i*w+1 as int), cast(w as int))), ' {')"
+            "    ELSE concat_ws(' ', slice(toks, cast(i*w+1 as int), cast(w as int)))"
+            "  END,"
+            "  CASE WHEN (i + doc_id) % 3 != 0 THEN '.' ELSE '' END))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    keep = "x -> endswith(x, '.') AND size(split(x, ' ')) >= 5"
+    # Build the per-doc flags off a named 'lines' column so the three
+    # filter() passes share one materialized array.
+    d2 = d.select("doc_id", "source", lines.alias("lines"))
+    f = d2.select(
+        "source",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.expr(f"cast(size(filter(lines, {keep})) as long)").alias("n_kept"),
+        F.expr(
+            f"cast(coalesce(aggregate(filter(lines, {keep}), 0L,"
+            " (a, x) -> a + length(x)), 0L) as long)"
+        ).alias("kept_chars"),
+        F.expr(
+            "cast(size(filter(lines,"
+            " x -> x like '%lorem ipsum%' or contains(x, '{'))) as long)"
+        ).alias("n_bad"),
+    )
+    kept_doc = (F.col("n_bad") == 0) & (F.col("n_kept") >= 3)
+    return f.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(kept_doc, 1).otherwise(0)).alias("n_docs_kept"),
+        F.sum("n_lines").alias("n_lines"),
+        F.sum(F.when(kept_doc, F.col("n_kept")).otherwise(0)).alias("n_lines_kept"),
+        F.sum(F.when(kept_doc, F.col("kept_chars")).otherwise(0)).alias("chars_kept"),
+    )
+
+
 def _o_corpus_validate(sf_dir: str) -> str:
     return """SELECT COUNT(*)::BIGINT AS n_docs,
        SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_text,

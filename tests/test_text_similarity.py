@@ -429,3 +429,66 @@ class TestRepetitionFilter:
         assert out["rep"]["n_flagged"] == 1
         assert out["rep"]["n5_dup"] > 0
         assert out["clean"]["n_flagged"] == 0 and out["clean"]["n5_dup"] == 0
+
+
+class TestC4LineFilter:
+    def test_rules_match_python_reimplementation(self, spark):
+        """c4_line_filter vs an independent pure-Python recompute of the
+        same augmentation + rules on hand-picked doc_ids that exercise
+        every branch: lorem injection (13), brace injection (17), both
+        (221), short docs, and a clean doc."""
+        from gridfia_spark.queries_products import c4_line_filter
+        import gridfia_spark.queries_products as QP
+
+        rows = [
+            (13, " ".join(f"w{i}" for i in range(30)), "lorem"),
+            (17, " ".join(f"w{i}" for i in range(30)), "brace"),
+            (221, " ".join(f"w{i}" for i in range(30)), "both"),
+            (1, "tiny doc", "short"),
+            (2, " ".join(f"w{i}" for i in range(60)), "clean"),
+        ]
+
+        def py_flags(doc_id, text):
+            toks = text.split()
+            w = 4 + doc_id % 5
+            nl = (len(toks) + w - 1) // w
+            lines = []
+            for i in range(nl):
+                if doc_id % 13 == 0 and i == 0:
+                    s = "lorem ipsum dolor sit"
+                elif doc_id % 17 == 0 and i == 1:
+                    s = " ".join(toks[i * w : i * w + w]) + " {"
+                else:
+                    s = " ".join(toks[i * w : i * w + w])
+                if (i + doc_id) % 3 != 0:
+                    s += "."
+                lines.append(s)
+            kept = [x for x in lines if x.endswith(".") and len(x.split(" ")) >= 5]
+            bad = [x for x in lines if "lorem ipsum" in x or "{" in x]
+            return {
+                "n_lines": len(lines),
+                "n_kept": len(kept),
+                "kept_chars": sum(len(x) for x in kept),
+                "ok": not bad and len(kept) >= 3,
+            }
+
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        orig = QP._t
+        QP._t = lambda s, d, name: df
+        try:
+            out = {r.source: r.asDict() for r in c4_line_filter(spark, "x").collect()}
+        finally:
+            QP._t = orig
+        for doc_id, text, source in rows:
+            exp = py_flags(doc_id, text)
+            got = out[source]
+            assert got["n_lines"] == exp["n_lines"], source
+            assert got["n_docs_kept"] == (1 if exp["ok"] else 0), source
+            assert got["n_lines_kept"] == (exp["n_kept"] if exp["ok"] else 0), source
+            assert got["chars_kept"] == (exp["kept_chars"] if exp["ok"] else 0), source
+        # the deliberately poisoned docs are dropped; the clean one kept
+        assert out["lorem"]["n_docs_kept"] == 0
+        assert out["brace"]["n_docs_kept"] == 0
+        assert out["both"]["n_docs_kept"] == 0
+        assert out["short"]["n_docs_kept"] == 0  # < 3 kept lines
+        assert out["clean"]["n_docs_kept"] == 1
