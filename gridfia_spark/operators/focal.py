@@ -1,0 +1,168 @@
+"""Focal (stencil) operators with perimeter-only halo exchange.
+
+The classic distributed-raster problem: a focal kernel (here the 4-neighbor
+Laplacian) needs each pixel's cross-tile neighbors, so naive plans shuffle
+whole tiles to assemble padded neighborhoods. This operator never shuffles
+tile bytes:
+
+  phase 1 (map-side, one decode per tile, ``mapInPandas``):
+    - the tile-INTERIOR part of the stencil (rows 1..h-2 x cols 1..w-2) is
+      fully computable in-tile -> reduced immediately to one int64 energy.
+    - only O(perimeter) data leaves the task: the tile's own border bundle
+      (outermost two rows/cols, needed to evaluate its ring pixels) plus four
+      one-pixel strips addressed to the N/S/E/W neighbor tiles (their halos).
+  phase 2 (``applyInPandas`` on (s, ty, tx)):
+    - reassembles each tile's ring from its bundle + received halos and adds
+      the ring energy. Strips absent because the neighbor is off-grid mark
+      the global boundary: those pixels are excluded (global-interior
+      contract), which makes the result identical to a single-machine
+      whole-grid computation — the property the oracle checks.
+
+At a 1024x1024 production tile the shuffle is ~8K values per tile instead of
+~1M (128x less traffic); with the tile table bucketed by (ty, tx) the
+strip exchange co-partitions with zero extra shuffle. Reference scope: the
+reference engine has no focal operator — this is the §2-extension analogue
+of GIS focal statistics, and the blurry-image (low edge energy) filter of an
+image-corpus curation pipeline.
+
+All arithmetic is exact int64 (biomass values are integers <= 255), so a
+DuckDB oracle can reproduce every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .. import codecs
+from ..constants import GridSpec
+from .decode import with_tile_meta
+
+_PHASE1_SCHEMA = (
+    "s int, ty int, tx int, role string, strip array<long>, "
+    "w int, h int, energy long, n long"
+)
+_OUT_SCHEMA = "s int, ty int, tx int, edge_energy long, n_px long"
+
+
+def edge_energy(tiles: DataFrame, spec: GridSpec) -> DataFrame:
+    """Per-tile Laplacian edge energy ``sum((4v - up - down - left - right)^2)``
+    over every *globally interior* pixel, seamless across tile borders via
+    halo exchange. Returns ``(s, ty, tx, edge_energy, n_px)``."""
+    tiles_x, tiles_y = spec.tiles_x, spec.tiles_y
+    meta = with_tile_meta(tiles).select(
+        "image_id", "bytes", "w", "h", "fmt", "s", "tx", "ty"
+    )
+
+    def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for row in pdf.itertuples(index=False):
+                a = codecs.decode(row.bytes, row.w, row.h, row.fmt).astype(np.int64)
+                h, w = int(row.h), int(row.w)
+                s, ty, tx = int(row.s), int(row.ty), int(row.tx)
+                # in-tile interior: every neighbor is local -> reduce now
+                lap = (
+                    4 * a[1:-1, 1:-1]
+                    - a[:-2, 1:-1]
+                    - a[2:, 1:-1]
+                    - a[1:-1, :-2]
+                    - a[1:-1, 2:]
+                )
+                energy = int((lap * lap).sum())
+                n_int = (h - 2) * (w - 2)
+                # own border bundle: rows 0,1,h-2,h-1 then cols 0,1,w-2,w-1
+                bundle = np.concatenate(
+                    [
+                        a[0, :], a[1, :], a[h - 2, :], a[h - 1, :],
+                        a[:, 0], a[:, 1], a[:, w - 2], a[:, w - 1],
+                    ]
+                ).tolist()
+                out.append((s, ty, tx, "self", bundle, w, h, energy, n_int))
+                # one-pixel strips -> the 4 neighbors (skip off-grid dests)
+                if ty > 0:
+                    out.append((s, ty - 1, tx, "down", a[0, :].tolist(), w, h, 0, 0))
+                if ty < tiles_y - 1:
+                    out.append((s, ty + 1, tx, "up", a[h - 1, :].tolist(), w, h, 0, 0))
+                if tx > 0:
+                    out.append((s, ty, tx - 1, "right", a[:, 0].tolist(), w, h, 0, 0))
+                if tx < tiles_x - 1:
+                    out.append((s, ty, tx + 1, "left", a[:, w - 1].tolist(), w, h, 0, 0))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "s", "ty", "tx", "role", "strip", "w", "h", "energy", "n",
+                ],
+            )
+
+    def phase2(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        s, ty, tx = (int(k) for k in key)
+        rows = {r.role: r for r in pdf.itertuples(index=False)}
+        if "self" not in rows:
+            # strips addressed to a tile absent from the input (caller passed
+            # a filtered layer subset) — nothing to evaluate there
+            return pd.DataFrame(
+                {"s": [], "ty": [], "tx": [], "edge_energy": [], "n_px": []}
+            ).astype({"s": "int32", "ty": "int32", "tx": "int32",
+                      "edge_energy": "int64", "n_px": "int64"})
+        me = rows["self"]
+        w, h = int(me.w), int(me.h)
+        b = np.asarray(me.strip, dtype=np.int64)
+        # padded (h+2, w+2) value plane + validity mask
+        P = np.zeros((h + 2, w + 2), dtype=np.int64)
+        V = np.zeros((h + 2, w + 2), dtype=bool)
+
+        def put(r: int, c_sl: slice, vals: np.ndarray) -> None:
+            P[r, c_sl] = vals
+            V[r, c_sl] = True
+
+        put(1, slice(1, w + 1), b[0:w])            # row 0
+        put(2, slice(1, w + 1), b[w : 2 * w])      # row 1
+        put(h - 1, slice(1, w + 1), b[2 * w : 3 * w])  # row h-2
+        put(h, slice(1, w + 1), b[3 * w : 4 * w])  # row h-1
+        cols = b[4 * w :]
+        for j, cc in enumerate((1, 2, w - 1, w)):  # cols 0,1,w-2,w-1
+            P[1 : h + 1, cc] = cols[j * h : (j + 1) * h]
+            V[1 : h + 1, cc] = True
+        for role, (r_idx, c_sl) in {
+            "up": (0, slice(1, w + 1)),
+            "down": (h + 1, slice(1, w + 1)),
+        }.items():
+            if role in rows:
+                put(r_idx, c_sl, np.asarray(rows[role].strip, dtype=np.int64))
+        for role, cc in {"left": 0, "right": w + 1}.items():
+            if role in rows:
+                P[1 : h + 1, cc] = np.asarray(rows[role].strip, dtype=np.int64)
+                V[1 : h + 1, cc] = True
+        # ring = border pixels of this tile (padded coords 1..h, 1..w)
+        ring = np.zeros((h, w), dtype=bool)
+        ring[0, :] = ring[h - 1, :] = True
+        ring[:, 0] = ring[:, w - 1] = True
+        ok = (
+            ring
+            & V[1 : h + 1, 1 : w + 1]
+            & V[0:h, 1 : w + 1]      # up
+            & V[2 : h + 2, 1 : w + 1]  # down
+            & V[1 : h + 1, 0:w]      # left
+            & V[1 : h + 1, 2 : w + 2]  # right
+        )
+        lap = (
+            4 * P[1 : h + 1, 1 : w + 1]
+            - P[0:h, 1 : w + 1]
+            - P[2 : h + 2, 1 : w + 1]
+            - P[1 : h + 1, 0:w]
+            - P[1 : h + 1, 2 : w + 2]
+        )
+        ring_energy = int((lap[ok] ** 2).sum())
+        total = int(me.energy) + ring_energy
+        n_px = int(me.n) + int(ok.sum())
+        return pd.DataFrame(
+            [(s, ty, tx, total, n_px)],
+            columns=["s", "ty", "tx", "edge_energy", "n_px"],
+        )
+
+    strips = meta.mapInPandas(phase1, _PHASE1_SCHEMA)
+    return strips.groupBy("s", "ty", "tx").applyInPandas(phase2, _OUT_SCHEMA)

@@ -49,6 +49,8 @@ DRIVER_PRIORITY: list[str] = [
     "zarr_append_layer",
     "zarr_blosc_roundtrip",
     "geotiff_strip_scan",
+    "edge_energy",
+    "overview_stats",
     # oldest-evidence queries — absent from the r04 sample (VERDICT r4 §3)
     "knn_points",
     "caption_check",
@@ -414,6 +416,86 @@ def diversity_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("shannon", 6).alias("shannon"),
         F.round("simpson_inv", 6).alias("simpson_inv"),
         F.round("evenness", 6).alias("evenness"),
+    )
+
+
+def _o_edge_energy(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    gw, gh = spec.gw, spec.gh
+    return f"""WITH {osql.val_cte(spec)},
+allpx AS (
+  SELECT s, gx, gy, v FROM val
+  UNION ALL
+  SELECT 0 AS s, gx, gy, SUM(v) AS v FROM val GROUP BY gx, gy
+),
+lap AS (
+  SELECT c.s AS s, c.gx AS gx, c.gy AS gy,
+         4*c.v - u.v - d.v - l.v - r.v AS lp
+  FROM allpx c
+  JOIN allpx u ON u.s = c.s AND u.gx = c.gx AND u.gy = c.gy - 1
+  JOIN allpx d ON d.s = c.s AND d.gx = c.gx AND d.gy = c.gy + 1
+  JOIN allpx l ON l.s = c.s AND l.gx = c.gx - 1 AND l.gy = c.gy
+  JOIN allpx r ON r.s = c.s AND r.gx = c.gx + 1 AND r.gy = c.gy
+  WHERE c.gx BETWEEN 1 AND {gw - 2} AND c.gy BETWEEN 1 AND {gh - 2}
+)
+SELECT s::INT AS s, (gy // {th})::INT AS ty, (gx // {tw})::INT AS tx,
+       CAST(SUM(lp*lp) AS BIGINT) AS edge_energy,
+       COUNT(*)::BIGINT AS n_px
+FROM lap GROUP BY 1, 2, 3"""
+
+
+@q("edge_energy", _o_edge_energy)
+def edge_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seamless focal Laplacian edge energy per tile (focal.edge_energy):
+    cross-tile neighborhoods via perimeter-only halo exchange — tile bytes
+    never shuffle; result identical to a whole-grid single-machine pass."""
+    from .operators import focal
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    out = focal.edge_energy(tiles, spec_for_sf_dir(sf_dir))
+    return out.select("s", "ty", "tx", "edge_energy", "n_px")
+
+
+def _o_overview(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    codes = ",".join(f"({i},'{c}')" for i, (c, _) in enumerate(SPECIES))
+    return f"""WITH {osql.val_cte(spec)},
+allpx AS (
+  SELECT s, gx, gy, v FROM val
+  UNION ALL
+  SELECT 0 AS s, gx, gy, SUM(v) AS v FROM val GROUP BY gx, gy
+),
+blk AS (
+  SELECT s, gx // 2 AS bx, gy // 2 AS by, CAST(SUM(v) AS BIGINT) AS v
+  FROM allpx GROUP BY 1, 2, 3
+),
+spn(s, code) AS (SELECT * FROM (VALUES {codes}) v(s, code))
+SELECT printf('sp%s_tx%03d_ty%03d', n.code,
+              CAST(b.bx // {tw} AS INT), CAST(b.by // {th} AS INT)) AS image_id,
+       b.s::INT AS s,
+       CAST(MIN(b.v) AS DOUBLE) AS vmin,
+       CAST(MAX(b.v) AS DOUBLE) AS vmax,
+       CAST(SUM(b.v) AS DOUBLE) AS vsum,
+       CAST(SUM(CASE WHEN b.v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero,
+       COUNT(*)::BIGINT AS npx
+FROM blk b JOIN spn n ON b.s = n.s
+GROUP BY 1, 2"""
+
+
+@q("overview_stats", _o_overview)
+def overview_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-2 raster overview (pyramid.build_overview: exact block-sum
+    mip level, COG-overview analogue) verified through decode_stats — the
+    output is itself a tile table, so the per-tile stats operator composes
+    over it unchanged."""
+    from .operators import pyramid
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    ovr = pyramid.build_overview(tiles, spec_for_sf_dir(sf_dir), factor=2)
+    return decode.decode_stats(ovr).select(
+        "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
     )
 
 
