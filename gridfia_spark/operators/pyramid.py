@@ -151,3 +151,61 @@ def build_overview(
 
     quads = meta.mapInPandas(phase1, _Q_SCHEMA)
     return quads.groupBy("s", "oty", "otx").applyInPandas(phase2, TILE_SCHEMA)
+
+
+def overview_spec(spec: GridSpec, factor: int = 2) -> GridSpec:
+    """GridSpec of ``build_overview``'s output grid. Defined when the tile
+    grid divides evenly by ``factor`` (uniform output tiles) or fits within
+    one output tile (terminal levels, where the single tile shrinks);
+    mixed-size ragged grids have no uniform GridSpec."""
+    f = int(factor)
+
+    def dim(tiles: int, tw: int) -> tuple[int, int]:
+        if tiles >= f:
+            if tiles % f:
+                raise ValueError(
+                    f"ragged overview grid ({tiles} tiles / factor {f}) has "
+                    "no uniform GridSpec"
+                )
+            return tiles // f, tw
+        return 1, (tiles * tw) // f
+
+    tx, tw = dim(spec.tiles_x, spec.tile_w)
+    ty, th = dim(spec.tiles_y, spec.tile_h)
+    return GridSpec(tx, ty, tw, th)
+
+
+def build_pyramid(
+    tiles: DataFrame,
+    spec: GridSpec,
+    factor: int = 2,
+    levels: int | None = None,
+    fmt: str = "rawz",
+) -> list[tuple[GridSpec, DataFrame]]:
+    """Successive overview levels (level k pixel = exact ``factor**k`` block
+    sum), coarsest last. With ``levels=None`` builds until no further level
+    is possible (tile dims no longer divisible — for power-of-two tiles that
+    is the 1x1-pixel apex, whose single value is the exact global sum).
+
+    Total pyramid cost is a geometric series — each level reads the previous
+    one, so all levels together cost < 1/(factor**2 - 1) of the base scan.
+    The returned frames are lazy: at production scale WRITE each level (it is
+    a normal tile table) before building the next, or collecting a deep level
+    will recompute every level above it.
+    """
+    out: list[tuple[GridSpec, DataFrame]] = []
+    cur, cspec = tiles, spec
+    while levels is None or len(out) < levels:
+        if cspec.tile_w % factor or cspec.tile_h % factor:
+            if levels is not None:
+                raise ValueError(
+                    f"cannot build {levels} levels: tile dims "
+                    f"{cspec.tile_w}x{cspec.tile_h} stop dividing by "
+                    f"{factor} after level {len(out)}"
+                )
+            break
+        nspec = overview_spec(cspec, factor)
+        nxt = build_overview(cur, cspec, factor=factor, fmt=fmt)
+        out.append((nspec, nxt))
+        cur, cspec = nxt, nspec
+    return out

@@ -106,3 +106,37 @@ class TestOverview:
         tiles = tgen.ensure_tiles(spark, SF_DIR)
         with pytest.raises(ValueError, match="not divisible"):
             pyramid.build_overview(tiles, spec, factor=5)
+
+
+class TestPyramid:
+    def test_full_pyramid_apex_is_global_sum(self, spark):
+        """Build every level down to the 1x1-pixel apex: level specs halve
+        correctly through the single-tile regime, and the apex pixel equals
+        the exact whole-grid sum per species (the telescoping proof that
+        every level's block sums are exact)."""
+        spec = spec_for_sf_dir(SF_DIR)  # 2x2 tiles of 32x32 -> 64x64 px
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        levels = pyramid.build_pyramid(tiles, spec, factor=2)
+        shapes = [(sp.tiles_x, sp.tiles_y, sp.tile_w, sp.tile_h) for sp, _ in levels]
+        assert shapes == [
+            (1, 1, 32, 32),  # L1: one tile, 32x32 px (grid 64->32)
+            (1, 1, 16, 16),
+            (1, 1, 8, 8),
+            (1, 1, 4, 4),
+            (1, 1, 2, 2),
+            (1, 1, 1, 1),  # apex
+        ]
+        apex_rows = levels[-1][1].collect()
+        assert len(apex_rows) == len(SPECIES)
+        cube = pixels.full_cube(spec).astype(np.int64)
+        got = _decode_rows(apex_rows)
+        for s, (code, _) in enumerate(SPECIES):
+            apex = got[f"sp{code}_tx000_ty000"]
+            assert apex.shape == (1, 1)
+            assert int(apex[0, 0]) == int(cube[s].sum())
+
+    def test_levels_overshoot_raises(self, spark):
+        spec = spec_for_sf_dir(SF_DIR)
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        with pytest.raises(ValueError, match="cannot build"):
+            pyramid.build_pyramid(tiles, spec, factor=2, levels=7)
