@@ -204,7 +204,14 @@ def build_pyramid(
                     f"{factor} after level {len(out)}"
                 )
             break
-        nspec = overview_spec(cspec, factor)
+        try:
+            nspec = overview_spec(cspec, factor)
+        except ValueError:
+            # ragged tile grid: no uniform coarser GridSpec — clean stop
+            # for auto-depth, an error when an explicit depth was demanded
+            if levels is not None:
+                raise
+            break
         nxt = build_overview(cur, cspec, factor=factor, fmt=fmt)
         out.append((nspec, nxt))
         cur, cspec = nxt, nspec

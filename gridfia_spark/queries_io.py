@@ -871,3 +871,136 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(corpus_dir)
     sd.incremental_near_dups(spark, corpus_dir, work, n_hashes=32, bands=16)
     return sd.near_dup_result(spark, work)
+
+
+# ===================================================================
+# Multiscale Zarr store (OME-NGFF pyramid group, S12 + pyramid fusion)
+# ===================================================================
+
+
+def _ms_depth(spec) -> int:
+    """Auto-depth of the multiscale pyramid for a grid: levels exist while
+    the tile grid halves evenly and hasn't collapsed to a single tile
+    (mirrors write_multiscale_store's stop conditions)."""
+    k, tx, ty = 0, spec.tiles_x, spec.tiles_y
+    while not (tx == 1 and ty == 1) and tx % 2 == 0 and ty % 2 == 0:
+        k, tx, ty = k + 1, tx // 2, ty // 2
+    return k
+
+
+def _o_zarr_multiscale(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    depth = _ms_depth(spec)
+    codes = ",".join(f"({i},'{c}')" for i, (c, _) in enumerate(SPECIES))
+    blocks = ",\n".join(
+        f"""b{k} AS (
+  SELECT s, bx // 2 AS bx, by // 2 AS by, CAST(SUM(v) AS BIGINT) AS v
+  FROM b{k - 1} GROUP BY 1, 2, 3
+)"""
+        for k in range(2, depth + 1)
+    )
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT {k} AS lvl, s, bx, by, v FROM b{k}"
+        for k in range(1, depth + 1)
+    )
+    return f"""WITH {osql.val_cte(spec)},
+allpx AS (
+  SELECT s, gx, gy, v FROM val
+  UNION ALL
+  SELECT 0 AS s, gx, gy, SUM(v) AS v FROM val GROUP BY gx, gy
+),
+b1 AS (
+  SELECT s, gx // 2 AS bx, gy // 2 AS by, CAST(SUM(v) AS BIGINT) AS v
+  FROM allpx GROUP BY 1, 2, 3
+),
+{blocks + "," if blocks else ""}
+spn(s, code) AS (SELECT * FROM (VALUES {codes}) v(s, code)),
+lv AS (
+{union}
+)
+SELECT b.lvl::INT AS lvl,
+       printf('sp%s_tx%03d_ty%03d', n.code,
+              CAST(b.bx // {tw} AS INT), CAST(b.by // {th} AS INT)) AS image_id,
+       CAST(MIN(b.v) AS DOUBLE) AS vmin,
+       CAST(MAX(b.v) AS DOUBLE) AS vmax,
+       CAST(SUM(b.v) AS DOUBLE) AS vsum,
+       CAST(SUM(CASE WHEN b.v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero,
+       COUNT(*)::BIGINT AS npx
+FROM lv b JOIN spn n ON b.s = n.s
+GROUP BY 1, 2"""
+
+
+@q("zarr_multiscale", _o_zarr_multiscale)
+def zarr_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OME-NGFF-pattern multiscale Zarr group (write_multiscale_store):
+    level arrays 0..K where level k's pixel is the exact int64 sum over a
+    2**k x 2**k base-pixel block, each level built from the PERSISTED
+    chunks of the previous one, with the pyramid declared in a root
+    ``multiscales`` attribute (per-level scale transforms alongside the
+    reference-layout georeferencing keys). Every coarser level is read
+    back from disk and gated against independent block-sum oracles — so
+    the pyramid build, the per-level chunk writes, AND the re-read path
+    that feeds each level from the one below are all bit-exact end to
+    end."""
+    import shutil as _sh
+
+    from .sources import zarrstore
+
+    spec = spec_for_sf_dir(sf_dir)
+    depth = _ms_depth(spec)
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    store = _cache(sf_dir, "zarrms") + ".zarr"
+    _sh.rmtree(store, ignore_errors=True)
+    n = zarrstore.write_multiscale_store(tiles, spec, store, zarr_format=3)
+    nt = spec.tiles_x * spec.tiles_y
+    assert n == len(SPECIES) * sum(nt // 4**k for k in range(depth + 1)), n
+    ms = zarrstore._read_root_attrs(store, 3)["multiscales"][0]
+    assert [d["path"] for d in ms["datasets"]] == [
+        str(k) for k in range(depth + 1)
+    ]
+    scales = [
+        d["coordinateTransformations"][0]["scale"][1] for d in ms["datasets"]
+    ]
+    assert scales == [30.0 * 2**k for k in range(depth + 1)]
+    out = None
+    for lvl in range(1, depth + 1):
+        back = zarrstore.read_zarr_store(spark, store, array=str(lvl))
+        st = decode.decode_stats(back).select(
+            F.lit(lvl).cast("int").alias("lvl"),
+            "image_id", "vmin", "vmax", "vsum", "nonzero", "npx",
+        )
+        out = st if out is None else out.unionByName(st)
+    return out
+
+
+@q("zarr_sharded_roundtrip", _o_zarr_store)
+def zarr_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB small-file fix: Zarr v3 ``sharding_indexed`` — stored
+    objects each pack a 2x2 block of chunks behind a crc32c-guarded index
+    footer (sources/sharding.py), 4x fewer objects to list/open/schedule
+    than the flat chunk layout at identical pixel content. ONE hash
+    shuffle co-locates each shard's tiles on write; the scan back parses
+    shard indexes task-side and is gated against the same exact pixel
+    oracle as every other store dialect — and the object-count reduction
+    is asserted in-query from the actual file listing."""
+    import shutil as _sh
+
+    from .sources import zarrstore
+
+    spec = spec_for_sf_dir(sf_dir)
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    store = _cache(sf_dir, "zarrshard") + ".zarr"
+    _sh.rmtree(store, ignore_errors=True)
+    n = zarrstore.write_sharded_store(tiles, store, shard_tiles=(2, 2))
+    n_chunks = len(SPECIES) * spec.tiles_x * spec.tiles_y
+    assert n == n_chunks // 4, (n, n_chunks)
+    m = zarrstore.zarr_meta(store)
+    assert m.shard == [1, 2 * spec.tile_h, 2 * spec.tile_w]
+    assert m.chunks == [1, spec.tile_h, spec.tile_w]
+    assert m.index_codecs == ("bytes", "crc32c")
+    back = zarrstore.read_zarr_store(spark, store)
+    assert len(back.inputFiles()) == n, "scan must list shard objects only"
+    return decode.decode_stats(back).select(
+        "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
+    )

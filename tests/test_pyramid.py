@@ -140,3 +140,13 @@ class TestPyramid:
         tiles = tgen.ensure_tiles(spark, SF_DIR)
         with pytest.raises(ValueError, match="cannot build"):
             pyramid.build_pyramid(tiles, spec, factor=2, levels=7)
+
+    def test_ragged_grid_auto_depth_stops_cleanly(self, spark):
+        """levels=None on a grid with no uniform coarser level (3x3 at
+        factor 2) returns the levels that exist instead of raising."""
+        spec = GridSpec(3, 3, 32, 32)
+        tiles = tgen.generate_tiles(spark, spec)
+        levels = pyramid.build_pyramid(tiles, spec, factor=2)
+        assert levels == []
+        with pytest.raises(ValueError, match="ragged"):
+            pyramid.build_pyramid(tiles, spec, factor=2, levels=1)
