@@ -50,6 +50,7 @@ DRIVER_PRIORITY: list[str] = [
     "zarr_blosc_roundtrip",
     "zarr_multiscale",
     "zarr_sharded_roundtrip",
+    "zarr_shard_window",
     "geotiff_strip_scan",
     "edge_energy",
     "overview_stats",
@@ -94,11 +95,11 @@ DRIVER_PRIORITY: list[str] = [
     "cosine_topk",
     "ann_recall",
     "ivf_trained_contract",
-    "mixture_sample",
     # --- 50-sample boundary (everything below has green r04 driver rows
     # or fresh judge-run evidence; the full local gate still runs all of
-    # it every round; these five slid below when the r5
-    # zarr_multiscale/zarr_sharded additions took head slots) ---
+    # it every round; these six slid below when the r5 zarr_multiscale /
+    # zarr_sharded / zarr_shard_window additions took head slots) ---
+    "mixture_sample",
     "embedding_norms",
     "embedding_cosine_dedup",
     "ingest_roundtrip",

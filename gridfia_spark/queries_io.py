@@ -1004,3 +1004,84 @@ def zarr_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode.decode_stats(back).select(
         "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
     )
+
+
+def _win(spec) -> tuple[int, int, int, int]:
+    """sf-adaptive tile window (inclusive): the second quarter of each
+    axis — a proper sub-window on every grid with >= 4 tiles per axis."""
+    return (
+        spec.tiles_x // 4, spec.tiles_x // 2,
+        spec.tiles_y // 4, spec.tiles_y // 2,
+    )
+
+
+def _o_shard_window(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    tx0, tx1, ty0, ty1 = _win(spec)
+    return f"""WITH {osql.val_cte(spec)},
+allpx AS (
+  SELECT s, gx, gy, v FROM val
+  UNION ALL
+  SELECT 0 AS s, gx, gy, SUM(v) AS v FROM val GROUP BY gx, gy
+),
+{osql.tiles_cte(spec)}
+SELECT t.image_id AS image_id, t.s AS s,
+       CAST(MIN(p.v) AS DOUBLE) AS vmin,
+       CAST(MAX(p.v) AS DOUBLE) AS vmax,
+       CAST(SUM(p.v) AS DOUBLE) AS vsum,
+       CAST(SUM(CASE WHEN p.v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero,
+       COUNT(*)::BIGINT AS npx
+FROM allpx p JOIN tiles t
+  ON p.s = t.s AND p.gx // {tw} = t.tx AND p.gy // {th} = t.ty
+WHERE t.tx BETWEEN {tx0} AND {tx1} AND t.ty BETWEEN {ty0} AND {ty1}
+GROUP BY t.image_id, t.s"""
+
+
+@q("zarr_shard_window", _o_shard_window)
+def zarr_shard_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular PARTIAL read of a sharded store
+    (zarrstore.read_shard_window): tasks seek each shard's crc32c-guarded
+    index footer, then read ONLY the byte ranges of inner chunks inside
+    the tile window — the ranged-GET access pattern that makes sharding
+    safe at 100 TB (packing chunks without losing partial reads). The
+    window slice is gated against the exact pixel oracle restricted to
+    the same tiles, AND the per-row IO accounting must total strictly
+    less than the store's payload bytes — proving bytes outside the
+    window were never read."""
+    import shutil as _sh
+
+    from .sources import sharding as _shard
+    from .sources import zarrstore
+
+    spec = spec_for_sf_dir(sf_dir)
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    store = _cache(sf_dir, "zarrwin") + ".zarr"
+    _sh.rmtree(store, ignore_errors=True)
+    n_shards = zarrstore.write_sharded_store(tiles, store, shard_tiles=(2, 2))
+    tx0, tx1, ty0, ty1 = _win(spec)
+    out = zarrstore.read_shard_window(
+        spark, store, (tx0, tx1), (ty0, ty1), include_read_bytes=True
+    )
+    rows = out.collect()
+    n_win = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    assert len(rows) == len(SPECIES) * n_win, (len(rows), n_win)
+    # IO accounting: chunk payload bytes actually read + one footer per
+    # shard TOUCHED must come in under the store's total payload when the
+    # window is a proper subset of the grid
+    adir = os.path.join(store, "biomass", "c")
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(adir) for f in fs
+    )
+    idx_nb = _shard.index_nbytes(4, ("bytes", "crc32c"))
+    touched = len(SPECIES) * len(range(ty0 // 2, ty1 // 2 + 1)) * len(
+        range(tx0 // 2, tx1 // 2 + 1)
+    )
+    read_total = sum(r.read_bytes for r in rows) + touched * idx_nb
+    if n_win < spec.tiles_x * spec.tiles_y:
+        assert read_total < total, (read_total, total)
+    back = out.drop("read_bytes")
+    return decode.decode_stats(back).select(
+        "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
+    )

@@ -123,6 +123,38 @@ def parse_index(
     return out
 
 
+def parse_index_tail(
+    footer: bytes,
+    n_inner: int,
+    index_codecs: tuple[str, ...],
+    object_size: int,
+) -> list[tuple[int, int]]:
+    """Decode the index from the FOOTER bytes alone (what a ranged GET of
+    the object's tail returns) — validation of chunk ranges runs against
+    the declared ``object_size`` instead of an in-memory blob."""
+    nb = index_nbytes(n_inner, index_codecs)
+    if len(footer) < nb:
+        raise ValueError(
+            f"sharding: footer holds {len(footer)} bytes < {nb}-byte index"
+        )
+    region = footer[-nb:]
+    if "crc32c" in index_codecs:
+        body, (stored,) = region[:-4], struct.unpack("<I", region[-4:])
+        if crc32c(body) != stored:
+            raise ValueError("sharding: index crc32c mismatch")
+        region = body
+    out = []
+    for i in range(n_inner):
+        off, size = struct.unpack_from("<QQ", region, 16 * i)
+        if off != MAX_U64 and off + size > object_size:
+            raise ValueError(
+                f"sharding: inner chunk {i} range [{off}, {off + size}) "
+                f"exceeds object size {object_size}"
+            )
+        out.append((off, size))
+    return out
+
+
 def _encode_inner(buf: bytes, codec: str | None, level: int) -> bytes:
     if codec == "gzip":
         return _gzip.compress(buf, compresslevel=level, mtime=0)

@@ -814,6 +814,128 @@ def read_zarr_store(
     return files.mapInPandas(rd, TILE_SCHEMA)
 
 
+def read_shard_window(
+    spark: SparkSession,
+    path: str,
+    tx_range: tuple[int, int],
+    ty_range: tuple[int, int],
+    array: str | None = None,
+    species: list[int] | None = None,
+    include_read_bytes: bool = False,
+) -> DataFrame:
+    """Windowed PARTIAL read of a sharded store — the object-store access
+    pattern the shard index exists for: each task seeks to its shard's
+    footer (one ranged GET), parses the crc32c-guarded index, then reads
+    ONLY the byte ranges of inner chunks inside the tile window
+    ``tx_range x ty_range`` (inclusive). Bytes outside the window are
+    never read — unlike the full ``binaryFile`` scan, a small window on
+    a huge shard touches O(window) bytes + a 16·ks²-byte footer per
+    shard. ``include_read_bytes=True`` appends a per-row ``read_bytes``
+    column (that chunk's stored byte count; add ``sharding.index_nbytes``
+    once per shard touched for the footer) so tests and gate queries can
+    assert the partial-read contract from the actual IO accounting."""
+    from ..datagen import pixels as pxgen
+    from ..datagen.tiles import TILE_SCHEMA
+    from . import sharding as _sh
+
+    if array is None:
+        array = find_array(path)
+    m = zarr_meta(path, array)
+    if m.shard is None:
+        raise ValueError("read_shard_window requires a sharding_indexed array")
+    _, th, tw = (int(c) for c in m.chunks)
+    ks_y, ks_x = m.shard[1] // th, m.shard[2] // tw
+    index_codecs = m.index_codecs
+    compressor = m.compressor
+    tx0, tx1 = int(tx_range[0]), int(tx_range[1])
+    ty0, ty1 = int(ty_range[0]), int(ty_range[1])
+    if tx0 > tx1 or ty0 > ty1:
+        raise ValueError(f"empty window {tx_range} x {ty_range}")
+    stored_codes = m.attrs.get("species_codes") or [c for c, _ in SPECIES]
+    stored_names = m.attrs.get("species_names") or [
+        dict(SPECIES).get(c, c) for c in stored_codes
+    ]
+    codes = {
+        i: (c, stored_names[i] if i < len(stored_names) else c)
+        for i, c in enumerate(stored_codes)
+    }
+    n_layers = int(m.shape[0])
+    layers = (
+        sorted({int(s) for s in species}) if species is not None
+        else list(range(n_layers))
+    )
+    adir = os.path.join(path, array)
+    items = []
+    for s in layers:
+        for sy in range(ty0 // ks_y, ty1 // ks_y + 1):
+            for sx in range(tx0 // ks_x, tx1 // ks_x + 1):
+                f = os.path.join(adir, "c", str(s), str(sy), str(sx))
+                if os.path.exists(f):
+                    items.append((f, s, sy, sx))
+    if not items:
+        return spark.createDataFrame([], TILE_SCHEMA)
+    work = spark.createDataFrame(
+        items, "path string, s int, sy int, sx int"
+    ).repartition(min(len(items), spark.sparkContext.defaultParallelism * 2))
+    n_inner = ks_y * ks_x
+    idx_nb = _sh.index_nbytes(n_inner, index_codecs)
+    if include_read_bytes:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            TILE_SCHEMA.fields + [StructField("read_bytes", LongType())]
+        )
+    else:
+        schema = TILE_SCHEMA
+
+    def rdw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for it in pdf.itertuples(index=False):
+                size = os.path.getsize(it.path)
+                with open(it.path, "rb") as fh:
+                    fh.seek(size - idx_nb)
+                    idx = _sh.parse_index_tail(
+                        fh.read(idx_nb), n_inner, index_codecs, size
+                    )
+                    code, nm = codes[it.s]
+                    for cy in range(ks_y):
+                        ty = it.sy * ks_y + cy
+                        if not ty0 <= ty <= ty1:
+                            continue
+                        for cx in range(ks_x):
+                            tx = it.sx * ks_x + cx
+                            if not tx0 <= tx <= tx1:
+                                continue
+                            off, nb = idx[cy * ks_x + cx]
+                            if off == _sh.MAX_U64:
+                                continue
+                            fh.seek(off)
+                            raw = _sh._decode_inner(fh.read(nb), compressor)
+                            arr = np.frombuffer(raw, dtype="<f4").reshape(th, tw)
+                            row = (
+                                image_id(code, tx, ty),
+                                codecs.encode(arr, "rawz"),
+                                tw,
+                                th,
+                                "rawz",
+                                caption(code, nm, tx, ty),
+                                pxgen.phash64(arr),
+                            )
+                            rows.append(
+                                row + (nb,) if include_read_bytes else row
+                            )
+            if rows:
+                cols = [
+                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                ]
+                if include_read_bytes:
+                    cols.append("read_bytes")
+                yield pd.DataFrame(rows, columns=cols)
+
+    return work.mapInPandas(rdw, schema)
+
+
 def validate_store(path: str, array: str | None = None) -> dict:
     """Validate and summarize an on-disk store, either dialect — the
     engine form of the reference's ``validate_zarr_store``

@@ -58,7 +58,17 @@ ee = Q.edge_energy(spark, "/root/testdata/sf0.001").toPandas()
 ee = ee.sort_values(["s", "ty", "tx"], ignore_index=True)
 ov = Q.overview_stats(spark, "/root/testdata/sf0.001").toPandas()
 ov = ov.sort_values("image_id", ignore_index=True)
+# round-5 session 3: shard assembly (one shuffle whose grouping changes
+# with cores) and the multiscale pyramid (levels re-read from persisted
+# chunks written at different parallelism) must be invariant
+from gridfia_spark.queries_io import zarr_sharded_roundtrip, zarr_multiscale
+zs = zarr_sharded_roundtrip(spark, "/root/testdata/sf0.001").toPandas()
+zs = zs.sort_values("image_id", ignore_index=True)
+zm = zarr_multiscale(spark, "/root/testdata/sf0.001").toPandas()
+zm = zm.sort_values(["lvl", "image_id"], ignore_index=True)
 print("RESULT" + json.dumps({{"zonal": pdf.to_dict("records"),
+                              "sharded": zs.to_dict("records"),
+                              "multiscale": zm.to_dict("records"),
                               "pct": pct.to_dict("records"),
                               "wav": wav.to_dict("records"),
                               "zorder": zo.to_dict("records"),

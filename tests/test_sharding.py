@@ -219,3 +219,59 @@ class TestShardedStore:
         json.dump(doc, open(doc_path, "w"))
         with pytest.raises(ValueError, match="index_location"):
             zarrstore.zarr_meta(store)
+
+
+class TestShardWindow:
+    def test_window_partial_read_accounting(self, spark, tmp_path):
+        """A 1-tile window on a 2x2-sharded store reads exactly that
+        chunk's bytes (+footer) — never the sibling chunks."""
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "w.zarr")
+        zarrstore.write_sharded_store(tiles, store, shard_tiles=(2, 2))
+        out = zarrstore.read_shard_window(
+            spark, store, (1, 1), (0, 0), include_read_bytes=True
+        )
+        rows = out.collect()
+        assert len(rows) == len(SPECIES)
+        assert all(r.image_id.endswith("tx001_ty000") for r in rows)
+        # per-row read_bytes equals the chunk's stored size from the index
+        blob = open(
+            os.path.join(store, "biomass", "c", "0", "0", "0"), "rb"
+        ).read()
+        idx = sharding.parse_index(blob, 4, ("bytes", "crc32c"))
+        row0 = next(r for r in rows if r.image_id.startswith("sp0000"))
+        assert row0.read_bytes == idx[1][1]  # inner (cy=0, cx=1)
+
+    def test_window_matches_full_scan_pixels(self, spark, tmp_path):
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "w2.zarr")
+        zarrstore.write_sharded_store(tiles, store, shard_tiles=(2, 2))
+        win = zarrstore.read_shard_window(spark, store, (0, 1), (1, 1))
+        full = zarrstore.read_zarr_store(spark, store)
+        want = {
+            r.image_id: r.vsum
+            for r in decode.decode_stats(full).collect()
+            if "ty001" in r.image_id
+        }
+        got = {r.image_id: r.vsum for r in decode.decode_stats(win).collect()}
+        assert got == want and len(got) == len(SPECIES) * 2
+
+    def test_window_species_pruning_and_empty(self, spark, tmp_path):
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "w3.zarr")
+        zarrstore.write_sharded_store(tiles, store, shard_tiles=(2, 2))
+        one = zarrstore.read_shard_window(
+            spark, store, (0, 0), (0, 0), species=[2]
+        )
+        rows = one.collect()
+        assert len(rows) == 1
+        assert rows[0].image_id.startswith(f"sp{SPECIES[2][0]}")
+        with pytest.raises(ValueError, match="empty window"):
+            zarrstore.read_shard_window(spark, store, (1, 0), (0, 0))
+
+    def test_window_requires_sharded_store(self, spark, tmp_path):
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "flat.zarr")
+        zarrstore.write_zarr_store(tiles, store, zarr_format=3)
+        with pytest.raises(ValueError, match="sharding_indexed"):
+            zarrstore.read_shard_window(spark, store, (0, 0), (0, 0))
