@@ -1,0 +1,212 @@
+"""Distributed nearest-neighbor regrid (warp) of a tile table.
+
+The reference resamples rasters onto display grids with nearest-neighbor
+interpolation (``visualization/mapper.py:245`` ``interpolation='nearest'``)
+and reprojects bounds through rasterio (``visualization/boundaries.py:207``).
+This operator is the engine form of that capability as a *data* product: an
+axis-separable rational affine regrid — target pixel ``(tgx, tgy)`` takes the
+value of source pixel
+
+    sgx = (tgx * num_x + off_x) // den_x
+    sgy = (tgy * num_y + off_y) // den_y
+
+(pure int64 floor math, so the DuckDB oracle replicates it bit-exactly).
+Rational ``num/den`` covers up- and down-scaling by any factor plus integer
+translation — the nearest-neighbor special case of a GDAL-style warp for
+axis-aligned grids (no rotation/shear; the engine's grids, the reference's
+grids, and virtually all published biomass rasters are north-up).
+
+Plan shape (pinned in tests/test_warp.py):
+
+  Scan tile table
+    -> mapInPandas phase 1: per source tile, compute which TARGET pixels
+       draw from it (closed-form scalar bounds — no broadcast side data),
+       extract exactly those pixels with one fancy-index, pack per
+       (s, target tile) as (target-local row idx, col idx, f32 block)
+    -> ONE Exchange hashpartitioning(s, tty, ttx)   <- carries exactly
+       the OUTPUT pixels (downscales shed skipped pixels map-side;
+       upscales send each source pixel once per covered target row/col)
+    -> applyInPandas phase 2: place the blocks, verify every target pixel
+       was covered exactly once (a missing source tile raises — never
+       silent zeros), re-encode -> full TILE_SCHEMA row
+
+The output is itself a tile table at the target grid — decode_stats,
+metric kernels, zonal joins, store sinks all compose over it unchanged.
+At 100 TB this is a single all-to-all whose network volume is the OUTPUT
+raster, the floor for any resample that actually changes the grid.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .. import codecs
+from ..constants import SPECIES, GridSpec
+from ..datagen.tiles import TILE_SCHEMA
+from .decode import with_tile_meta
+
+_W_SCHEMA = (
+    "s int, tty int, ttx int, ny int, nx int, "
+    "tys binary, txs binary, pbytes binary"
+)
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _axis_check(name: str, num: int, den: int, off: int, src_px: int) -> int:
+    """Validate one axis mapping and return the target pixel count: the
+    number of t >= 0 with (t*num + off) // den < src_px."""
+    if num <= 0 or den <= 0 or off < 0:
+        raise ValueError(
+            f"warp {name}-map (num={num}, den={den}, off={off}): "
+            "num and den must be positive, off non-negative"
+        )
+    n = _ceil_div(src_px * den - off, num)
+    if n <= 0:
+        raise ValueError(
+            f"warp {name}-map offset {off}/{den} lands past the "
+            f"{src_px}-px source extent"
+        )
+    return n
+
+
+def warp_extent(
+    spec: GridSpec,
+    map_x: tuple[int, int, int],
+    map_y: tuple[int, int, int],
+) -> tuple[int, int]:
+    """(target_width_px, target_height_px) of ``warp_tiles``' output grid —
+    the largest target extent whose every pixel maps inside the source."""
+    nx, dx, ox = (int(v) for v in map_x)
+    ny, dy, oy = (int(v) for v in map_y)
+    return (
+        _axis_check("x", nx, dx, ox, spec.gw),
+        _axis_check("y", ny, dy, oy, spec.gh),
+    )
+
+
+def warp_tiles(
+    tiles: DataFrame,
+    spec: GridSpec,
+    map_x: tuple[int, int, int],
+    map_y: tuple[int, int, int],
+    fmt: str = "rawz",
+) -> DataFrame:
+    """Nearest-neighbor regrid of ``tiles`` (gridded by ``spec``) onto the
+    target grid defined by ``map_x = (num, den, off)`` / ``map_y``; output
+    keeps ``spec``'s tile pixel dims (ragged at the target edges)."""
+    nx_, dx_, ox_ = (int(v) for v in map_x)
+    ny_, dy_, oy_ = (int(v) for v in map_y)
+    t_w, t_h = warp_extent(spec, map_x, map_y)
+    tw, th = spec.tile_w, spec.tile_h
+    codes = [c for c, _ in SPECIES]
+    names = [n for _, n in SPECIES]
+    meta = with_tile_meta(tiles).select(
+        "bytes", "w", "h", "fmt", "s", "tx", "ty"
+    )
+
+    def targets_in(lo_src: int, hi_src: int, num: int, den: int,
+                   off: int, t_px: int) -> np.ndarray:
+        """Target indices whose source pixel falls in [lo_src, hi_src) —
+        closed-form on the monotone map, no per-pixel search."""
+        lo = max(0, _ceil_div(lo_src * den - off, num))
+        hi = min(t_px, _ceil_div(hi_src * den - off, num))
+        return np.arange(lo, hi, dtype=np.int64)
+
+    def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for row in pdf.itertuples(index=False):
+                x0, y0 = int(row.tx) * tw, int(row.ty) * th
+                tgxs = targets_in(x0, x0 + int(row.w), nx_, dx_, ox_, t_w)
+                tgys = targets_in(y0, y0 + int(row.h), ny_, dy_, oy_, t_h)
+                if not len(tgxs) or not len(tgys):
+                    continue  # downscale can skip a source tile entirely
+                a = codecs.decode(row.bytes, row.w, row.h, row.fmt)
+                sxs = (tgxs * nx_ + ox_) // dx_ - x0
+                sys_ = (tgys * ny_ + oy_) // dy_ - y0
+                for ttx in np.unique(tgxs // tw):
+                    mx = (tgxs // tw) == ttx
+                    for tty in np.unique(tgys // th):
+                        my = (tgys // th) == tty
+                        blk = a[np.ix_(sys_[my], sxs[mx])]
+                        out.append(
+                            (
+                                int(row.s),
+                                int(tty),
+                                int(ttx),
+                                int(my.sum()),
+                                int(mx.sum()),
+                                (tgys[my] - tty * th).astype("<i4").tobytes(),
+                                (tgxs[mx] - ttx * tw).astype("<i4").tobytes(),
+                                np.ascontiguousarray(
+                                    blk, dtype="<f4"
+                                ).tobytes(),
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "s", "tty", "ttx", "ny", "nx", "tys", "txs", "pbytes",
+                ],
+            )
+
+    def phase2(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        s, tty, ttx = (int(k) for k in key)
+        ow = min(tw, t_w - ttx * tw)
+        oh = min(th, t_h - tty * th)
+        out = np.zeros((oh, ow), dtype=np.float32)
+        cov = np.zeros((oh, ow), dtype=bool)
+        for r in pdf.itertuples(index=False):
+            ys = np.frombuffer(r.tys, dtype="<i4")
+            xs = np.frombuffer(r.txs, dtype="<i4")
+            sel = np.ix_(ys, xs)
+            if cov[sel].any():
+                raise ValueError(
+                    f"warp tile (s={s}, ty={tty}, tx={ttx}): overlapping "
+                    "source contributions — duplicate input tiles?"
+                )
+            out[sel] = np.frombuffer(r.pbytes, dtype="<f4").reshape(
+                int(r.ny), int(r.nx)
+            )
+            cov[sel] = True
+        if not cov.all():
+            raise ValueError(
+                f"warp tile (s={s}, ty={tty}, tx={ttx}): "
+                f"{int((~cov).sum())} target pixels have no source "
+                "contribution — missing input tiles; refusing to "
+                "fabricate pixels"
+            )
+        from ..datagen import pixels as pxgen
+
+        code, name = codes[s], names[s]
+        image_id = f"sp{code}_tx{ttx:03d}_ty{tty:03d}"
+        caption = (
+            f"species={code};name={name};tile=({ttx},{tty});"
+            f"warp=x{nx_}/{dx_}+{ox_},y{ny_}/{dy_}+{oy_};units=Mg/ha"
+        )
+        return pd.DataFrame(
+            [
+                (
+                    image_id,
+                    codecs.encode(out, fmt),
+                    ow,
+                    oh,
+                    fmt,
+                    caption,
+                    pxgen.phash64(out),
+                )
+            ],
+            columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+        )
+
+    packed = meta.mapInPandas(phase1, _W_SCHEMA)
+    return packed.groupBy("s", "tty", "ttx").applyInPandas(
+        phase2, TILE_SCHEMA
+    )

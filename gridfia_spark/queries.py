@@ -54,13 +54,13 @@ DRIVER_PRIORITY: list[str] = [
     "geotiff_strip_scan",
     "edge_energy",
     "overview_stats",
+    "warp_regrid",
     # oldest-evidence queries — absent from the r04 sample (VERDICT r4 §3)
     "knn_points",
     "caption_check",
     "diversity_pixel",
     "proportion_pixel",
     "rare_common_global",
-    "rare_common_global_thresholded",
     "rare_common_tile_scope",
     "dominance_global",
     "species_presence_stats",
@@ -75,14 +75,12 @@ DRIVER_PRIORITY: list[str] = [
     "bh_fdr",
     "cliffs_delta",
     "mann_whitney",
-    "cohens_d",
     "permutation_test",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
     "segment_revenue",
     "user_sessions",
-    "session_windows",
     "top_event_users",
     "dedup_exact",
     "token_stats",
@@ -97,8 +95,13 @@ DRIVER_PRIORITY: list[str] = [
     "ivf_trained_contract",
     # --- 50-sample boundary (everything below has green r04 driver rows
     # or fresh judge-run evidence; the full local gate still runs all of
-    # it every round; these six slid below when the r5 zarr_multiscale /
-    # zarr_sharded / zarr_shard_window additions took head slots) ---
+    # it every round; these slid below as the r5 zarr_multiscale /
+    # zarr_sharded / zarr_shard_window / warp_regrid additions took head
+    # slots — session_windows / cohens_d / rare_common_global_thresholded
+    # each keep a same-family representative in the sample) ---
+    "session_windows",
+    "cohens_d",
+    "rare_common_global_thresholded",
     "mixture_sample",
     "embedding_norms",
     "embedding_cosine_dedup",
@@ -499,6 +502,65 @@ def overview_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = tgen.ensure_tiles(spark, sf_dir)
     ovr = pyramid.build_overview(tiles, spec_for_sf_dir(sf_dir), factor=2)
     return decode.decode_stats(ovr).select(
+        "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
+    )
+
+
+_WARP_X = (3, 2, 1)  # downscale x by 3/2: sgx = (tgx*3 + 1) // 2
+_WARP_Y = (2, 3, 1)  # upscale  y by 3/2: sgy = (tgy*2 + 1) // 3
+
+
+def _o_warp(sf_dir: str) -> str:
+    from .operators import warp as _w
+
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    t_w, t_h = _w.warp_extent(spec, _WARP_X, _WARP_Y)
+    nx, dx, ox = _WARP_X
+    ny, dy, oy = _WARP_Y
+    codes = ",".join(f"({i},'{c}')" for i, (c, _) in enumerate(SPECIES))
+    return f"""WITH {osql.val_cte(spec)},
+allpx AS (
+  SELECT s, gx, gy, v FROM val
+  UNION ALL
+  SELECT 0 AS s, gx, gy, SUM(v) AS v FROM val GROUP BY gx, gy
+),
+spn(s, code) AS (SELECT * FROM (VALUES {codes}) v(s, code)),
+tgt AS (
+  SELECT n.s AS s, n.code AS code, txs.tgx AS tgx, tys.tgy AS tgy,
+         (txs.tgx*{nx} + {ox}) // {dx} AS sgx,
+         (tys.tgy*{ny} + {oy}) // {dy} AS sgy
+  FROM spn n,
+       generate_series(0,{t_w - 1}) txs(tgx),
+       generate_series(0,{t_h - 1}) tys(tgy)
+)
+SELECT printf('sp%s_tx%03d_ty%03d', t.code,
+              CAST(t.tgx // {tw} AS INT), CAST(t.tgy // {th} AS INT)) AS image_id,
+       t.s::INT AS s,
+       CAST(MIN(p.v) AS DOUBLE) AS vmin,
+       CAST(MAX(p.v) AS DOUBLE) AS vmax,
+       CAST(SUM(p.v) AS DOUBLE) AS vsum,
+       CAST(SUM(CASE WHEN p.v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero,
+       COUNT(*)::BIGINT AS npx
+FROM tgt t JOIN allpx p ON p.s = t.s AND p.gx = t.sgx AND p.gy = t.sgy
+GROUP BY 1, 2"""
+
+
+@q("warp_regrid", _o_warp)
+def warp_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropic nearest-neighbor regrid (warp.warp_tiles: x downscaled
+    3/2, y upscaled 3/2 with a half-pixel shift — pure int64 floor math,
+    the engine form of the reference's nearest-interpolation raster
+    display, mapper.py:245) verified through decode_stats. The shuffle
+    carries exactly the OUTPUT pixels: downscales shed skipped source
+    pixels map-side before the exchange."""
+    from .operators import warp
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    out = warp.warp_tiles(
+        tiles, spec_for_sf_dir(sf_dir), _WARP_X, _WARP_Y
+    )
+    return decode.decode_stats(out).select(
         "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
     )
 

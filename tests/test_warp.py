@@ -1,0 +1,103 @@
+"""Distributed nearest-neighbor regrid (operators/warp.py): whole-grid
+numpy equivalence, identity mapping, hole refusal, output-pixels-only
+shuffle plan, extent validation."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gridfia_spark import codecs
+from gridfia_spark.constants import SPECIES, spec_for_sf_dir
+from gridfia_spark.datagen import pixels, tiles as tgen
+from gridfia_spark.operators import warp
+
+SF_DIR = "/root/testdata/sf0.001"
+MAP_X = (3, 2, 1)  # downscale 3/2 with half-pixel shift
+MAP_Y = (2, 3, 1)  # upscale 3/2
+
+
+def _assemble(rows, t_w, t_h) -> dict[int, np.ndarray]:
+    """Stitch warped tile rows back into per-layer full planes."""
+    planes = {s: np.full((t_h, t_w), np.nan, np.float32) for s in range(len(SPECIES))}
+    code_to_s = {c: i for i, (c, _) in enumerate(SPECIES)}
+    for r in rows:
+        m = re.match(r"sp(\d{4})_tx(\d+)_ty(\d+)", r["image_id"])
+        s, tx, ty = code_to_s[m.group(1)], int(m.group(2)), int(m.group(3))
+        a = codecs.decode(r["bytes"], r["w"], r["h"], r["fmt"])
+        spec = spec_for_sf_dir(SF_DIR)
+        planes[s][
+            ty * spec.tile_h : ty * spec.tile_h + r["h"],
+            tx * spec.tile_w : tx * spec.tile_w + r["w"],
+        ] = a
+    return planes
+
+
+class TestWarp:
+    def test_matches_whole_grid_numpy(self, spark):
+        """Anisotropic warp == single-machine fancy-index of the full cube."""
+        spec = spec_for_sf_dir(SF_DIR)
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        t_w, t_h = warp.warp_extent(spec, MAP_X, MAP_Y)
+        rows = warp.warp_tiles(tiles, spec, MAP_X, MAP_Y).collect()
+        assert len(rows) == len(SPECIES) * -(-t_w // spec.tile_w) * -(
+            -t_h // spec.tile_h
+        )
+        planes = _assemble(rows, t_w, t_h)
+        cube = pixels.full_cube(spec)
+        sgx = (np.arange(t_w) * MAP_X[0] + MAP_X[2]) // MAP_X[1]
+        sgy = (np.arange(t_h) * MAP_Y[0] + MAP_Y[2]) // MAP_Y[1]
+        for s in range(len(SPECIES)):
+            want = cube[s][np.ix_(sgy, sgx)]
+            np.testing.assert_array_equal(planes[s], want)
+
+    def test_identity_mapping_reproduces_tiles(self, spark):
+        spec = spec_for_sf_dir(SF_DIR)
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        out = warp.warp_tiles(tiles, spec, (1, 1, 0), (1, 1, 0)).collect()
+        src = {r["image_id"]: r for r in tiles.collect()}
+        assert set(src) == {r["image_id"] for r in out}
+        for r in out:
+            a = codecs.decode(r["bytes"], r["w"], r["h"], r["fmt"])
+            o = src[r["image_id"]]
+            b = codecs.decode(o["bytes"], o["w"], o["h"], o["fmt"])
+            np.testing.assert_array_equal(a, b)
+
+    def test_missing_source_tile_raises(self, spark):
+        spec = spec_for_sf_dir(SF_DIR)
+        tiles = tgen.ensure_tiles(spark, SF_DIR).filter(
+            F.col("image_id") != "sp0000_tx001_ty001"
+        )
+        with pytest.raises(Exception, match="no source contribution"):
+            warp.warp_tiles(tiles, spec, MAP_X, MAP_Y).collect()
+
+    def test_plan_single_exchange_no_tile_bytes(self, spark):
+        """One hash exchange keyed on (s, tty, ttx); the shuffled columns
+        are the packed output pixels, never the raw tile `bytes`."""
+        spec = spec_for_sf_dir(SF_DIR)
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        plan = (
+            warp.warp_tiles(tiles, spec, MAP_X, MAP_Y)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+        m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert m and "bytes" not in m.group(1)
+
+    def test_extent_validation(self):
+        spec = spec_for_sf_dir(SF_DIR)
+        assert warp.warp_extent(spec, (1, 1, 0), (1, 1, 0)) == (
+            spec.gw,
+            spec.gh,
+        )
+        # downscale 3/2 with +1/2 shift over 64 px: ceil((64*2-1)/3) = 43
+        assert warp.warp_extent(spec, MAP_X, MAP_Y) == (43, 96)
+        with pytest.raises(ValueError, match="positive"):
+            warp.warp_extent(spec, (0, 1, 0), (1, 1, 0))
+        with pytest.raises(ValueError, match="past the"):
+            warp.warp_extent(spec, (1, 1, spec.gw), (1, 1, 0))
