@@ -55,6 +55,7 @@ DRIVER_PRIORITY: list[str] = [
     "edge_energy",
     "overview_stats",
     "warp_regrid",
+    "store_diff",
     # oldest-evidence queries — absent from the r04 sample (VERDICT r4 §3)
     "knn_points",
     "caption_check",
@@ -81,7 +82,6 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q5",
     "segment_revenue",
     "user_sessions",
-    "top_event_users",
     "dedup_exact",
     "token_stats",
     "doc_fingerprint",
@@ -97,8 +97,10 @@ DRIVER_PRIORITY: list[str] = [
     # or fresh judge-run evidence; the full local gate still runs all of
     # it every round; these slid below as the r5 zarr_multiscale /
     # zarr_sharded / zarr_shard_window / warp_regrid additions took head
-    # slots — session_windows / cohens_d / rare_common_global_thresholded
-    # each keep a same-family representative in the sample) ---
+    # slots — session_windows / cohens_d / rare_common_global_thresholded /
+    # top_event_users each keep a same-family representative in the
+    # sample) ---
+    "top_event_users",
     "session_windows",
     "cohens_d",
     "rare_common_global_thresholded",

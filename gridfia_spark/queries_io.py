@@ -833,6 +833,88 @@ def config_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIFF_CLIP = 20  # epoch-B tiles are epoch A clipped at this value
+
+
+def _o_store_diff(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    c = _DIFF_CLIP
+    codes = ",".join(f"({i},'{cd}')" for i, (cd, _) in enumerate(SPECIES))
+    return f"""WITH {osql.val_cte(spec)},
+allpx AS (
+  SELECT s, gx, gy, v FROM val
+  UNION ALL
+  SELECT 0 AS s, gx, gy, SUM(v) AS v FROM val GROUP BY gx, gy
+),
+spn(s, code) AS (SELECT * FROM (VALUES {codes}) v(s, code))
+SELECT printf('sp%s_tx%03d_ty%03d', n.code,
+              CAST(p.gx // {tw} AS INT), CAST(p.gy // {th} AS INT)) AS image_id,
+       p.s::INT AS s,
+       CAST(SUM(CASE WHEN p.v > {c} THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+       CAST(MAX(CASE WHEN p.v > {c} THEN p.v - {c} ELSE 0 END) AS DOUBLE) AS max_abs,
+       CAST(SUM(p.v) AS DOUBLE) AS sum_a,
+       CAST(SUM(LEAST(p.v, {c})) AS DOUBLE) AS sum_b,
+       CAST(SUM(CASE WHEN p.v > {c} THEN p.v - {c} ELSE 0 END) AS DOUBLE) AS delta_sum
+FROM allpx p JOIN spn n ON n.s = p.s
+GROUP BY 1, 2"""
+
+
+@q("store_diff", _o_store_diff)
+def store_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal change detection between two store epochs with ZERO
+    shuffle (zarrstore.diff_stores): epoch A is the canonical raster in
+    the v2/zlib dialect, epoch B the same raster value-clipped at 20
+    (_DIFF_CLIP) written in the v3/gzip dialect — the diff must see
+    exactly the clipped mass, proving both the file-level chunk-pair
+    join and the cross-dialect metadata normalization. The driver
+    enumerates the chunk grid from metadata alone; every task opens its
+    chunk pair directly — no listing, no bytes on the network."""
+    import shutil as _sh
+
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .datagen.tiles import TILE_SCHEMA
+    from .sources import zarrstore
+
+    spec = spec_for_sf_dir(sf_dir)
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    store_a = _cache(sf_dir, "diffA") + ".zarr"
+    store_b = _cache(sf_dir, "diffB") + ".zarr"
+    _sh.rmtree(store_a, ignore_errors=True)
+    _sh.rmtree(store_b, ignore_errors=True)
+    zarrstore.write_zarr_store(tiles, store_a, zarr_format=2)
+    clip = float(_DIFF_CLIP)
+
+    def clipper(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = codecs.decode(r.bytes, r.w, r.h, r.fmt)
+                b = _np.minimum(a, _np.float32(clip))
+                rows.append(
+                    (r.image_id, codecs.encode(b, "rawz"), r.w, r.h,
+                     "rawz", r.caption, r.phash)
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                ],
+            )
+
+    zarrstore.write_zarr_store(
+        tiles.mapInPandas(clipper, TILE_SCHEMA), store_b, zarr_format=3
+    )
+    out = zarrstore.diff_stores(spark, store_a, store_b)
+    n = out.count()
+    assert n == len(SPECIES) * spec.tiles_x * spec.tiles_y, n
+    return out
+
+
 # product/statistics queries (render, threshold kernels, bootstrap CI) —
 # imported last so their @q registrations land in the shared registry
 from . import queries_products  # noqa: E402,F401

@@ -589,3 +589,102 @@ class TestMultiscaleStore:
                 tiles, spec, str(tmp_path / "msr2.zarr"), n_levels=2,
                 zarr_format=2,
             )
+
+
+class TestDiffStores:
+    def _stores(self, spark, tmp_path, mutate=None):
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        a = str(tmp_path / "a.zarr")
+        b = str(tmp_path / "b.zarr")
+        zarrstore.write_zarr_store(tiles, a, zarr_format=2)
+        src = tiles if mutate is None else mutate(tiles)
+        zarrstore.write_zarr_store(src, b, zarr_format=3)
+        return a, b
+
+    def test_identical_cross_dialect_all_zero(self, spark, tmp_path):
+        """v2/zlib vs v3/gzip of the same raster: every chunk identical —
+        the dialect normalization must make them comparable."""
+        a, b = self._stores(spark, tmp_path)
+        rows = zarrstore.diff_stores(spark, a, b).collect()
+        from gridfia_spark.constants import SPECIES, spec_for_sf_dir
+
+        spec = spec_for_sf_dir(SF_DIR)
+        assert len(rows) == len(SPECIES) * spec.tiles_x * spec.tiles_y
+        assert all(r.n_diff == 0 and r.delta_sum == 0.0 for r in rows)
+        assert all(r.sum_a == r.sum_b for r in rows)
+
+    def test_absent_chunk_diffs_against_fill(self, spark, tmp_path):
+        """A chunk deleted from epoch B diffs against zeros (Zarr fill
+        semantics); deleted from BOTH, the pair is skipped."""
+        a, b = self._stores(spark, tmp_path)
+        os.remove(os.path.join(b, "biomass", "c", "1", "0", "1"))
+        rows = {r.image_id: r for r in zarrstore.diff_stores(spark, a, b).collect()}
+        from gridfia_spark.constants import SPECIES
+
+        hit = rows[f"sp{SPECIES[1][0]}_tx001_ty000"]
+        from gridfia_spark.constants import spec_for_sf_dir
+
+        arr = pxgen.tile_pixels(1, 1, 0, spec_for_sf_dir(SF_DIR))
+        assert hit.n_diff == int((arr != 0).sum())
+        assert hit.sum_b == 0.0 and hit.delta_sum == hit.sum_a
+        # drop the pair entirely
+        os.remove(os.path.join(a, "biomass", "1.0.1"))
+        rows2 = zarrstore.diff_stores(spark, a, b).collect()
+        assert len(rows2) == len(rows) - 1
+
+    def test_mutated_values_localized(self, spark, tmp_path):
+        """Clipping epoch B at 10 shows up as exactly the clipped mass."""
+        import pandas as pd
+
+        from gridfia_spark.datagen.tiles import TILE_SCHEMA
+
+        def mutate(tiles):
+            def f(batches):
+                for pdf in batches:
+                    rows = []
+                    for r in pdf.itertuples(index=False):
+                        arr = codecs.decode(r.bytes, r.w, r.h, r.fmt)
+                        arr = np.minimum(arr, np.float32(10))
+                        rows.append((r.image_id, codecs.encode(arr, "rawz"),
+                                     r.w, r.h, "rawz", r.caption, r.phash))
+                    yield pd.DataFrame(rows, columns=[
+                        "image_id", "bytes", "w", "h", "fmt", "caption",
+                        "phash"])
+            return tiles.mapInPandas(f, TILE_SCHEMA)
+
+        a, b = self._stores(spark, tmp_path, mutate)
+        from gridfia_spark.constants import SPECIES, spec_for_sf_dir
+
+        spec = spec_for_sf_dir(SF_DIR)
+        for r in zarrstore.diff_stores(spark, a, b).collect():
+            import re as _re
+
+            m = _re.match(r"sp(\d{4})_tx(\d+)_ty(\d+)", r.image_id)
+            s = [c for c, _ in SPECIES].index(m.group(1))
+            arr = (pxgen.tile_pixels(s, int(m.group(2)), int(m.group(3)), spec)
+                   .astype(np.float64))
+            over = arr - np.minimum(arr, 10.0)
+            assert r.n_diff == int((over != 0).sum())
+            assert r.delta_sum == float(over.sum())
+            assert r.max_abs == float(over.max(initial=0.0))
+
+    def test_shape_mismatch_and_sharded_refused(self, spark, tmp_path):
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        a = str(tmp_path / "a.zarr")
+        zarrstore.write_zarr_store(tiles, a)
+        sh = str(tmp_path / "s.zarr")
+        zarrstore.write_sharded_store(tiles, sh, shard_tiles=(2, 2))
+        with pytest.raises(ValueError, match="flat chunk layouts"):
+            zarrstore.diff_stores(spark, a, sh)
+        with pytest.raises(ValueError, match="flat chunk layouts"):
+            zarrstore.diff_stores(spark, sh, a)
+
+    def test_plan_is_map_only(self, spark, tmp_path):
+        a, b = self._stores(spark, tmp_path)
+        plan = (
+            zarrstore.diff_stores(spark, a, b)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange hashpartitioning" not in plan
