@@ -56,6 +56,7 @@ DRIVER_PRIORITY: list[str] = [
     "overview_stats",
     "warp_regrid",
     "store_diff",
+    "focal_store_sum",
     # oldest-evidence queries — absent from the r04 sample (VERDICT r4 §3)
     "knn_points",
     "caption_check",
@@ -66,7 +67,6 @@ DRIVER_PRIORITY: list[str] = [
     "dominance_global",
     "species_presence_stats",
     "top_species_by_coverage",
-    "percentile_stretch",
     "point_biomass_lookup",
     "clip_tile_sums",
     "zonal_rollup",
@@ -99,7 +99,9 @@ DRIVER_PRIORITY: list[str] = [
     # zarr_sharded / zarr_shard_window / warp_regrid additions took head
     # slots — session_windows / cohens_d / rare_common_global_thresholded /
     # top_event_users each keep a same-family representative in the
-    # sample) ---
+    # sample; percentile_stretch keeps zonal_percentiles + render_layers
+    # as its histpct-family evidence) ---
+    "percentile_stretch",
     "top_event_users",
     "session_windows",
     "cohens_d",
@@ -504,6 +506,71 @@ def overview_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = tgen.ensure_tiles(spark, sf_dir)
     ovr = pyramid.build_overview(tiles, spec_for_sf_dir(sf_dir), factor=2)
     return decode.decode_stats(ovr).select(
+        "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
+    )
+
+
+def _o_focal_store(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    codes = ",".join(f"({i},'{c}')" for i, (c, _) in enumerate(SPECIES))
+    offs = ",".join(f"({dx},{dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""WITH {osql.val_cte(spec)},
+allpx AS (
+  SELECT s, gx, gy, v FROM val
+  UNION ALL
+  SELECT 0 AS s, gx, gy, SUM(v) AS v FROM val GROUP BY gx, gy
+),
+d(dx, dy) AS (SELECT * FROM (VALUES {offs}) v(dx, dy)),
+blur AS (
+  -- join-free formulation: every pixel contributes its value to the 9
+  -- positions whose 3x3 window contains it; positions shifted off the
+  -- grid drop out (zero-padding semantics). A 9-offset equi-self-join
+  -- on computed keys plans as a nested loop in DuckDB 1.0 — O(rows^2).
+  SELECT s, gx + dx AS gx, gy + dy AS gy, SUM(v) AS v
+  FROM allpx, d
+  WHERE gx + dx BETWEEN 0 AND {spec.gw - 1}
+    AND gy + dy BETWEEN 0 AND {spec.gh - 1}
+  GROUP BY 1, 2, 3
+),
+spn(s, code) AS (SELECT * FROM (VALUES {codes}) v(s, code))
+SELECT printf('sp%s_tx%03d_ty%03d', n.code,
+              CAST(b.gx // {tw} AS INT), CAST(b.gy // {th} AS INT)) AS image_id,
+       b.s::INT AS s,
+       CAST(MIN(b.v) AS DOUBLE) AS vmin,
+       CAST(MAX(b.v) AS DOUBLE) AS vmax,
+       CAST(SUM(b.v) AS DOUBLE) AS vsum,
+       CAST(SUM(CASE WHEN b.v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero,
+       COUNT(*)::BIGINT AS npx
+FROM blur b JOIN spn n ON n.s = b.s
+GROUP BY 1, 2"""
+
+
+@q("focal_store_sum", _o_focal_store)
+def focal_store_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-output focal statistic over a PERSISTED store with zero
+    shuffle (focal.focal_sum3x3_store): each task ghost-reads its chunk
+    plus the 8 neighbors directly from storage, pads the halo plane, and
+    emits the finished 3x3 box-sum tile — the object-store stencil
+    pattern (vs edge_energy's halo EXCHANGE, the right plan for in-flight
+    tables). Zero-padded at the global boundary; verified through
+    decode_stats against the 9-offset self-join oracle."""
+    import os as _os
+    import shutil as _sh
+
+    from .operators import focal
+    from .queries_io import _cache
+    from .sources import zarrstore
+
+    store = _cache(sf_dir, "focalstore") + ".zarr"
+    marker = _os.path.join(store, "_DONE")
+    if not _os.path.exists(marker):
+        _sh.rmtree(store, ignore_errors=True)
+        tiles = tgen.ensure_tiles(spark, sf_dir)
+        zarrstore.write_zarr_store(tiles, store)
+        open(marker, "w").close()
+    out = focal.focal_sum3x3_store(spark, store)
+    return decode.decode_stats(out).select(
         "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
     )
 

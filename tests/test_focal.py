@@ -89,3 +89,117 @@ class TestEdgeEnergy:
         # post-phase-1 exchange partitions on (s, ty, tx) strip rows
         m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", plan)
         assert m and "bytes" not in m.group(1)
+
+
+class TestFocalStoreSum:
+    @staticmethod
+    def _store(spark, tmp_path):
+        from gridfia_spark.sources import zarrstore
+
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "f.zarr")
+        zarrstore.write_zarr_store(tiles, store)
+        return store
+
+    @staticmethod
+    def _numpy_blur(spec) -> np.ndarray:
+        """(layers, gh, gw) int64 3x3 box sums, zero-padded."""
+        cube = pixels.full_cube(spec).astype(np.int64)
+        P = np.zeros((cube.shape[0], spec.gh + 2, spec.gw + 2), np.int64)
+        P[:, 1:-1, 1:-1] = cube
+        out = np.zeros_like(cube)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                out += P[:, dy : dy + spec.gh, dx : dx + spec.gw]
+        return out
+
+    def test_matches_whole_grid_numpy(self, spark, tmp_path):
+        """Ghost-read stencil == single-machine padded box sum; tile
+        seams and the global zero-padded boundary are both exact."""
+        from gridfia_spark import codecs
+        from gridfia_spark.constants import SPECIES
+
+        spec = spec_for_sf_dir(SF_DIR)
+        store = self._store(spark, tmp_path)
+        rows = focal.focal_sum3x3_store(spark, store).collect()
+        assert len(rows) == len(SPECIES) * spec.tiles_x * spec.tiles_y
+        want = self._numpy_blur(spec)
+        code_to_s = {c: i for i, (c, _) in enumerate(SPECIES)}
+        for r in rows:
+            m = re.match(r"sp(\d{4})_tx(\d+)_ty(\d+)", r["image_id"])
+            s, tx, ty = code_to_s[m.group(1)], int(m.group(2)), int(m.group(3))
+            a = codecs.decode(r["bytes"], r["w"], r["h"], r["fmt"])
+            blk = want[
+                s,
+                ty * spec.tile_h : (ty + 1) * spec.tile_h,
+                tx * spec.tile_w : (tx + 1) * spec.tile_w,
+            ]
+            np.testing.assert_array_equal(a.astype(np.int64), blk)
+
+    def test_absent_chunk_is_fill(self, spark, tmp_path):
+        """Deleting a neighbor chunk zeroes its halo contribution (Zarr
+        fill semantics) — the adjacent tile's border sums drop exactly."""
+        import os
+
+        from gridfia_spark import codecs
+
+        spec = spec_for_sf_dir(SF_DIR)
+        store = self._store(spark, tmp_path)
+        os.remove(os.path.join(store, "biomass", "1.0.0"))
+        rows = {
+            r["image_id"]: r
+            for r in focal.focal_sum3x3_store(spark, store, species=[1])
+            .collect()
+        }
+        # neighbor tile (1,0): its left-edge windows lost tile (0,0)'s
+        # right column
+        want = self._numpy_blur(spec)[1].copy()
+        cube = pixels.full_cube(spec).astype(np.int64)[1]
+        tw, th = spec.tile_w, spec.tile_h
+        # recompute with tile (0,0) zeroed
+        cz = cube.copy()
+        cz[0:th, 0:tw] = 0
+        P = np.zeros((spec.gh + 2, spec.gw + 2), np.int64)
+        P[1:-1, 1:-1] = cz
+        wz = np.zeros_like(cz)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                wz += P[dy : dy + spec.gh, dx : dx + spec.gw]
+        from gridfia_spark.constants import SPECIES
+
+        code = SPECIES[1][0]
+        a = rows[f"sp{code}_tx001_ty000"]
+        got = codecs.decode(a["bytes"], a["w"], a["h"], a["fmt"]).astype(
+            np.int64
+        )
+        np.testing.assert_array_equal(got, wz[0:th, tw : 2 * tw])
+        assert not np.array_equal(got, want[0:th, tw : 2 * tw])
+
+    def test_species_pruning_and_refusals(self, spark, tmp_path):
+        from gridfia_spark.constants import SPECIES
+        from gridfia_spark.datagen import tiles as tg
+        from gridfia_spark.sources import zarrstore
+
+        spec = spec_for_sf_dir(SF_DIR)
+        store = self._store(spark, tmp_path)
+        out = focal.focal_sum3x3_store(spark, store, species=[2]).collect()
+        assert len(out) == spec.tiles_x * spec.tiles_y
+        assert all(r["image_id"].startswith(f"sp{SPECIES[2][0]}") for r in out)
+        sh = str(tmp_path / "s.zarr")
+        zarrstore.write_sharded_store(
+            tg.ensure_tiles(spark, SF_DIR), sh, shard_tiles=(2, 2)
+        )
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="flat chunk layouts"):
+            focal.focal_sum3x3_store(spark, sh)
+
+    def test_plan_is_map_only(self, spark, tmp_path):
+        store = self._store(spark, tmp_path)
+        plan = (
+            focal.focal_sum3x3_store(spark, store)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange hashpartitioning" not in plan
