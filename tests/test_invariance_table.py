@@ -58,6 +58,10 @@ ee = Q.edge_energy(spark, "/root/testdata/sf0.001").toPandas()
 ee = ee.sort_values(["s", "ty", "tx"], ignore_index=True)
 ov = Q.overview_stats(spark, "/root/testdata/sf0.001").toPandas()
 ov = ov.sort_values("image_id", ignore_index=True)
+# round-5 session 4: the warp gather (one shuffle whose contribution
+# grouping changes with cores) must assemble identical target tiles
+wr = Q.warp_regrid(spark, "/root/testdata/sf0.001").toPandas()
+wr = wr.sort_values("image_id", ignore_index=True)
 # round-5 session 3: shard assembly (one shuffle whose grouping changes
 # with cores) and the multiscale pyramid (levels re-read from persisted
 # chunks written at different parallelism) must be invariant
@@ -79,7 +83,8 @@ print("RESULT" + json.dumps({{"zonal": pdf.to_dict("records"),
                               "blosc": zb.to_dict("records"),
                               "stripscan": gs.to_dict("records"),
                               "edge": ee.to_dict("records"),
-                              "overview": ov.to_dict("records")}}))
+                              "overview": ov.to_dict("records"),
+                              "warp": wr.to_dict("records")}}))
 spark.stop()
 """
 
