@@ -57,6 +57,7 @@ DRIVER_PRIORITY: list[str] = [
     "warp_regrid",
     "store_diff",
     "focal_store_sum",
+    "streaming_store_ingest",
     # oldest-evidence queries — absent from the r04 sample (VERDICT r4 §3)
     "knn_points",
     "caption_check",
@@ -89,7 +90,6 @@ DRIVER_PRIORITY: list[str] = [
     "minhash_lsh_pairs",
     "simhash_portable",
     "lang_id",
-    "clean_corpus",
     "cosine_topk",
     "ann_recall",
     "ivf_trained_contract",
@@ -100,7 +100,9 @@ DRIVER_PRIORITY: list[str] = [
     # slots — session_windows / cohens_d / rare_common_global_thresholded /
     # top_event_users each keep a same-family representative in the
     # sample; percentile_stretch keeps zonal_percentiles + render_layers
-    # as its histpct-family evidence) ---
+    # as its histpct-family evidence, clean_corpus keeps the text family's
+    # six other head entries) ---
+    "clean_corpus",
     "percentile_stretch",
     "top_event_users",
     "session_windows",

@@ -488,6 +488,71 @@ def zarr_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("streaming_store_ingest", _o_zarr_store)
+def streaming_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming raster ingest into a persisted store (SURVEY §2.9 x S2,
+    engine extension; streaming/storeingest.py): an initial checkerboard
+    epoch creates the store, then two staged tile drops arrive and each
+    AvailableNow pass writes ONLY the new tiles' chunk files into it —
+    chunk counts grow exactly by each drop's size, previously-written
+    chunks keep their mtimes (the file-source checkpoint proves the
+    second pass never re-reads the first drop), and the final store
+    decodes to the same exact pixel oracle as every store round trip."""
+    import time as _time
+
+    from .sources import zarrstore
+    from .streaming import storeingest
+
+    spec = spec_for_sf_dir(sf_dir)
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    meta = decode.with_tile_meta(tiles)
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    work = _cache(sf_dir, "streamstore")
+    shutil.rmtree(work, ignore_errors=True)
+    store = os.path.join(work, "cube.zarr")
+    drops = os.path.join(work, "drops")
+
+    def n_chunks() -> int:
+        adir = os.path.join(store, "biomass")
+        return sum(
+            1 for f in os.listdir(adir)
+            if f.count(".") == 2 and f.split(".")[0].isdigit()
+        )
+
+    # epoch 0: checkerboard creates the store (spans the full extent, so
+    # the declared shape is the whole grid; half the chunks are absent)
+    parity = (F.col("tx") + F.col("ty")) % 2
+    zarrstore.write_zarr_store(meta.filter(parity == 0).select(*cols), store)
+    n0 = n_chunks()
+    rest = meta.filter(parity == 1)
+    n_d1 = rest.filter(F.col("tx") % 2 == 0).count()
+    n_d2 = rest.filter(F.col("tx") % 2 == 1).count()
+    # drop 1 arrives -> pass 1 fills exactly those chunks
+    rest.filter(F.col("tx") % 2 == 0).select(*cols).write.mode(
+        "append"
+    ).parquet(drops)
+    storeingest.incremental_store_ingest(spark, drops, store, work)
+    n1 = n_chunks()
+    assert n1 == n0 + n_d1, (n0, n_d1, n1)
+    # probe a chunk drop 1 just wrote: tile (tx=0, ty=1) has parity 1 and
+    # even tx, so "0.1.0" (s.ty.tx) landed in pass 1
+    probe = os.path.join(store, "biomass", "0.1.0")
+    mt = os.path.getmtime(probe)
+    _time.sleep(0.05)
+    # drop 2 arrives -> pass 2 processes ONLY the new files
+    rest.filter(F.col("tx") % 2 == 1).select(*cols).write.mode(
+        "append"
+    ).parquet(drops)
+    storeingest.incremental_store_ingest(spark, drops, store, work)
+    assert n_chunks() == n1 + n_d2, (n1, n_d2, n_chunks())
+    assert os.path.getmtime(probe) == mt, "pass 2 rewrote an old chunk"
+    assert n_chunks() == len(SPECIES) * spec.tiles_x * spec.tiles_y
+    back = zarrstore.read_zarr_store(spark, store)
+    return decode.decode_stats(back).select(
+        "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
+    )
+
+
 def _o_zarr_slice(sf_dir: str) -> str:
     from .queries_products import _o_png_stats
 
