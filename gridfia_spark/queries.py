@@ -58,6 +58,7 @@ DRIVER_PRIORITY: list[str] = [
     "store_diff",
     "focal_store_sum",
     "streaming_store_ingest",
+    "epoch_trend",
     # oldest-evidence queries — absent from the r04 sample (VERDICT r4 §3)
     "knn_points",
     "caption_check",
@@ -85,7 +86,6 @@ DRIVER_PRIORITY: list[str] = [
     "user_sessions",
     "dedup_exact",
     "token_stats",
-    "doc_fingerprint",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_portable",
@@ -100,8 +100,9 @@ DRIVER_PRIORITY: list[str] = [
     # slots — session_windows / cohens_d / rare_common_global_thresholded /
     # top_event_users each keep a same-family representative in the
     # sample; percentile_stretch keeps zonal_percentiles + render_layers
-    # as its histpct-family evidence, clean_corpus keeps the text family's
-    # six other head entries) ---
+    # as its histpct-family evidence, clean_corpus / doc_fingerprint keep
+    # the text family's other head entries) ---
+    "doc_fingerprint",
     "clean_corpus",
     "percentile_stretch",
     "top_event_users",

@@ -980,6 +980,96 @@ def store_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_TREND_CAPS = (15, 25, 35)  # epoch e = epoch-0 raster clipped at caps[e]
+
+
+def _o_epoch_trend(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    c0, c1, c2 = _TREND_CAPS
+    codes = ",".join(f"({i},'{cd}')" for i, (cd, _) in enumerate(SPECIES))
+    # n=3 epochs: st=3, stt=5, den = 3*5 - 3*3 = 6;
+    # num = 3*(0*v0 + 1*v1 + 2*v2) - 3*(v0 + v1 + v2)
+    return f"""WITH {osql.val_cte(spec)},
+allpx AS (
+  SELECT s, gx, gy, v FROM val
+  UNION ALL
+  SELECT 0 AS s, gx, gy, SUM(v) AS v FROM val GROUP BY gx, gy
+),
+pnum AS (
+  SELECT s, gx, gy,
+         3*(LEAST(v, {c1}) + 2*LEAST(v, {c2}))
+           - 3*(LEAST(v, {c0}) + LEAST(v, {c1}) + LEAST(v, {c2})) AS num
+  FROM allpx
+),
+spn(s, code) AS (SELECT * FROM (VALUES {codes}) v(s, code))
+SELECT printf('sp%s_tx%03d_ty%03d', n.code,
+              CAST(p.gx // {tw} AS INT), CAST(p.gy // {th} AS INT)) AS image_id,
+       p.s::INT AS s,
+       CAST(3 AS INT) AS n_epochs,
+       CAST(6 AS BIGINT) AS den,
+       CAST(SUM(p.num) AS BIGINT) AS sum_num,
+       CAST(MIN(p.num) AS BIGINT) AS min_num,
+       CAST(MAX(p.num) AS BIGINT) AS max_num,
+       CAST(SUM(CASE WHEN p.num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rising
+FROM pnum p JOIN spn n ON n.s = p.s
+GROUP BY 1, 2"""
+
+
+@q("epoch_trend", _o_epoch_trend)
+def epoch_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pixel temporal trend across THREE store epochs with zero
+    shuffle (zarrstore.trend_stores): epochs are the canonical raster
+    clipped at rising caps (15/25/35) — pixels above 35 rise every epoch,
+    pixels under 15 are flat — with epoch 2 written in the v3 dialect to
+    exercise mixed-dialect time series. The OLS slope numerator is exact
+    int64 (den is a constant of n), so the oracle reproduces every
+    per-tile aggregate bit-for-bit."""
+    import shutil as _sh
+
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .datagen.tiles import TILE_SCHEMA
+    from .sources import zarrstore
+
+    spec = spec_for_sf_dir(sf_dir)
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    paths = []
+    for e, cap in enumerate(_TREND_CAPS):
+        store = _cache(sf_dir, f"trend{e}") + ".zarr"
+        _sh.rmtree(store, ignore_errors=True)
+
+        def clipper(batches: _It[_pd.DataFrame], cap=float(cap)):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    a = codecs.decode(r.bytes, r.w, r.h, r.fmt)
+                    rows.append(
+                        (r.image_id,
+                         codecs.encode(_np.minimum(a, _np.float32(cap)),
+                                       "rawz"),
+                         r.w, r.h, "rawz", r.caption, r.phash)
+                    )
+                yield _pd.DataFrame(
+                    rows,
+                    columns=["image_id", "bytes", "w", "h", "fmt",
+                             "caption", "phash"],
+                )
+
+        zarrstore.write_zarr_store(
+            tiles.mapInPandas(clipper, TILE_SCHEMA), store,
+            zarr_format=3 if e == 2 else 2,
+        )
+        paths.append(store)
+    out = zarrstore.trend_stores(spark, paths)
+    n = out.count()
+    assert n == len(SPECIES) * spec.tiles_x * spec.tiles_y, n
+    return out
+
+
 # product/statistics queries (render, threshold kernels, bootstrap CI) —
 # imported last so their @q registrations land in the shared registry
 from . import queries_products  # noqa: E402,F401

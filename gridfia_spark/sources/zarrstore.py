@@ -962,6 +962,52 @@ def _decode_chunk_bytes(raw: bytes, compressor: str | None) -> bytes:
     return raw
 
 
+def _affine_order(t: list | None) -> list | None:
+    """Normalize a 6-element transform to rasterio Affine order
+    (a,b,c,d,e,f): v2 array-level .zattrs carry the GDAL order
+    [X0, PIX, 0, Y0, 0, -PIX]; v3/root attrs carry Affine
+    [PIX, 0, X0, 0, -PIX, Y0] (same dual layout append_layer accepts)."""
+    if t is None or len(t) != 6:
+        return t
+    if t[2] == 0 and t[1] != 0:  # GDAL order
+        return [t[1], 0.0, t[0], 0.0, t[5], t[3]]
+    return list(t)
+
+
+def _aligned_meta(
+    op: str, path: str, array: str | None, ref: ZarrMeta | None
+) -> tuple[ZarrMeta, str]:
+    """Load a store's meta for a multi-store op and validate it against a
+    reference meta: flat layout required; shape, chunk grid, and
+    georeferencing (Affine-normalized, ``np.allclose``) must agree."""
+    m = zarr_meta(path, array)
+    if array is None:
+        array = find_array(path)
+    if m.shard is not None:
+        raise ValueError(
+            f"{op} supports flat chunk layouts; scan sharded stores "
+            "with read_zarr_store and join the tile tables instead"
+        )
+    if ref is not None:
+        if list(m.shape) != list(ref.shape):
+            raise ValueError(
+                f"{op}: shape mismatch {ref.shape} vs {m.shape}"
+            )
+        if list(m.chunks) != list(ref.chunks):
+            raise ValueError(
+                f"{op}: chunk-grid mismatch {ref.chunks} vs {m.chunks}"
+            )
+        ta = _affine_order(ref.attrs.get("transform"))
+        tb = _affine_order(m.attrs.get("transform"))
+        if ta is not None and tb is not None and not np.allclose(
+            ta, tb, rtol=1e-5
+        ):
+            raise ValueError(
+                f"{op}: georeferencing mismatch ({ta} vs {tb})"
+            )
+    return m, array
+
+
 DIFF_SCHEMA = (
     "image_id string, s int, n_diff bigint, max_abs double, "
     "sum_a double, sum_b double, delta_sum double"
@@ -990,45 +1036,8 @@ def diff_stores(
     A chunk absent from one side diffs against the Zarr fill value
     (zeros) — spec semantics, not an error; a chunk absent from BOTH is
     skipped (identical by definition)."""
-    ma = zarr_meta(path_a, array_a)
-    mb = zarr_meta(path_b, array_b)
-    if array_a is None:
-        array_a = find_array(path_a)
-    if array_b is None:
-        array_b = find_array(path_b)
-    if ma.shard is not None or mb.shard is not None:
-        raise ValueError(
-            "diff_stores supports flat chunk layouts; scan sharded stores "
-            "with read_zarr_store and join the tile tables instead"
-        )
-    if list(ma.shape) != list(mb.shape):
-        raise ValueError(
-            f"diff_stores: shape mismatch {ma.shape} vs {mb.shape}"
-        )
-    if list(ma.chunks) != list(mb.chunks):
-        raise ValueError(
-            f"diff_stores: chunk-grid mismatch {ma.chunks} vs {mb.chunks}"
-        )
-    def _affine(t: list | None) -> list | None:
-        """Normalize a 6-element transform to rasterio Affine order
-        (a,b,c,d,e,f): v2 array-level .zattrs carry the GDAL order
-        [X0, PIX, 0, Y0, 0, -PIX]; v3/root attrs carry Affine
-        [PIX, 0, X0, 0, -PIX, Y0] (same dual layout append_layer
-        accepts)."""
-        if t is None or len(t) != 6:
-            return t
-        if t[2] == 0 and t[1] != 0:  # GDAL order
-            return [t[1], 0.0, t[0], 0.0, t[5], t[3]]
-        return list(t)
-
-    ta = _affine(ma.attrs.get("transform"))
-    tb = _affine(mb.attrs.get("transform"))
-    if ta is not None and tb is not None and not np.allclose(
-        ta, tb, rtol=1e-5
-    ):
-        raise ValueError(
-            f"diff_stores: georeferencing mismatch ({ta} vs {tb})"
-        )
+    ma, array_a = _aligned_meta("diff_stores", path_a, array_a, None)
+    mb, array_b = _aligned_meta("diff_stores", path_b, array_b, ma)
     n_layers, gh, gw = (int(x) for x in ma.shape)
     _, th, tw = (int(c) for c in ma.chunks)
     n_cy, n_cx = -(-gh // th), -(-gw // tw)
@@ -1100,6 +1109,110 @@ def diff_stores(
                 )
 
     return work.mapInPandas(dd, DIFF_SCHEMA)
+
+
+TREND_SCHEMA = (
+    "image_id string, s int, n_epochs int, den bigint, "
+    "sum_num bigint, min_num bigint, max_num bigint, n_rising bigint"
+)
+
+
+def trend_stores(
+    spark: SparkSession,
+    paths: list[str],
+    arrays: list[str] | None = None,
+    species: list[int] | None = None,
+) -> DataFrame:
+    """Per-pixel temporal TREND across N aligned store epochs, zero
+    shuffle — the time-series extension of ``diff_stores``: the driver
+    enumerates the shared chunk grid once, and each task opens its N
+    chunk files (one per epoch, ranged GETs on an object store), stacks
+    them, and reduces the per-pixel ordinary-least-squares slope
+    numerator in EXACT int64:
+
+        num(px) = n * sum(t * v_t) - sum(t) * sum(v_t)
+        slope(px) = num / den,   den = n * sum(t^2) - sum(t)^2
+
+    ``den`` is a constant of n alone, so per-tile aggregates of ``num``
+    (sum / min / max, plus the count of strictly-rising pixels) carry
+    the full trend information without a float in sight — the DuckDB
+    oracle reproduces every value bit-for-bit, and mean slope is
+    ``sum_num / (npx * den)`` on either side. Epochs may mix dialects;
+    alignment is validated pairwise (same contract as ``diff_stores``).
+    Absent chunks read as the fill value (zeros) for that epoch."""
+    if len(paths) < 2:
+        raise ValueError("trend_stores needs at least 2 epochs")
+    arrays = list(arrays) if arrays is not None else [None] * len(paths)
+    m0, a0 = _aligned_meta("trend_stores", paths[0], arrays[0], None)
+    metas = [(m0, a0)]
+    for p, a in zip(paths[1:], arrays[1:]):
+        metas.append(_aligned_meta("trend_stores", p, a, m0))
+    n_layers, gh, gw = (int(x) for x in m0.shape)
+    _, th, tw = (int(c) for c in m0.chunks)
+    n_cy, n_cx = -(-gh // th), -(-gw // tw)
+    n = len(paths)
+    t = np.arange(n, dtype=np.int64)
+    st, stt = int(t.sum()), int((t * t).sum())
+    den = n * stt - st * st
+    stored_codes = m0.attrs.get("species_codes") or [c for c, _ in SPECIES]
+    layers = (
+        sorted({int(s) for s in species}) if species is not None
+        else list(range(n_layers))
+    )
+    epoch_dirs = [os.path.join(p, a) for p, (_, a) in zip(paths, metas)]
+    epoch_encs = [m.key_enc for m, _ in metas]
+    epoch_comps = [m.compressor for m, _ in metas]
+    codes = {i: c for i, c in enumerate(stored_codes)}
+    work = spark.createDataFrame(
+        [(s, cy, cx) for s in layers for cy in range(n_cy)
+         for cx in range(n_cx)],
+        "s int, cy int, cx int",
+    )
+    n_items = len(layers) * n_cy * n_cx
+    work = work.repartition(
+        min(n_items, spark.sparkContext.defaultParallelism * 4)
+    )
+
+    def tr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                s, cy, cx = int(r.s), int(r.cy), int(r.cx)
+                stack = np.zeros((n, th, tw), dtype=np.int64)
+                for e in range(n):
+                    p = _chunk_file(epoch_dirs[e], epoch_encs[e], s, cy, cx)
+                    if not os.path.exists(p):
+                        continue
+                    with open(p, "rb") as fh:
+                        raw = _decode_chunk_bytes(fh.read(), epoch_comps[e])
+                    stack[e] = np.frombuffer(raw, dtype="<f4").reshape(
+                        th, tw
+                    ).astype(np.int64)
+                sv = stack.sum(axis=0)
+                stv = (stack * t[:, None, None]).sum(axis=0)
+                num = n * stv - st * sv
+                rows.append(
+                    (
+                        image_id(codes[s], cx, cy),
+                        s,
+                        n,
+                        den,
+                        int(num.sum()),
+                        int(num.min()),
+                        int(num.max()),
+                        int((num > 0).sum()),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "image_id", "s", "n_epochs", "den",
+                        "sum_num", "min_num", "max_num", "n_rising",
+                    ],
+                )
+
+    return work.mapInPandas(tr, TREND_SCHEMA)
 
 
 def validate_store(path: str, array: str | None = None) -> dict:

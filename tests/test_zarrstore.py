@@ -688,3 +688,104 @@ class TestDiffStores:
             .toString()
         )
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestTrendStores:
+    CAPS = (10, 20, 30)
+
+    def _epochs(self, spark, tmp_path):
+        import pandas as pd
+
+        from gridfia_spark.datagen.tiles import TILE_SCHEMA
+
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        paths = []
+        for e, cap in enumerate(self.CAPS):
+            p = str(tmp_path / f"e{e}.zarr")
+
+            def f(batches, cap=float(cap)):
+                for pdf in batches:
+                    rows = []
+                    for r in pdf.itertuples(index=False):
+                        a = codecs.decode(r.bytes, r.w, r.h, r.fmt)
+                        rows.append((r.image_id,
+                                     codecs.encode(np.minimum(a, np.float32(cap)), "rawz"),
+                                     r.w, r.h, "rawz", r.caption, r.phash))
+                    yield pd.DataFrame(rows, columns=[
+                        "image_id", "bytes", "w", "h", "fmt", "caption",
+                        "phash"])
+
+            zarrstore.write_zarr_store(
+                tiles.mapInPandas(f, TILE_SCHEMA), p,
+                zarr_format=3 if e == 1 else 2,
+            )
+            paths.append(p)
+        return paths
+
+    def _numpy_nums(self):
+        from gridfia_spark.constants import spec_for_sf_dir
+
+        spec = spec_for_sf_dir(SF_DIR)
+        cube = pxgen.full_cube(spec).astype(np.int64)
+        stack = np.stack([np.minimum(cube, c) for c in self.CAPS])
+        t = np.arange(3, dtype=np.int64)
+        num = 3 * (stack * t[:, None, None, None]).sum(axis=0) - 3 * stack.sum(axis=0)
+        return spec, num  # (layers, gh, gw)
+
+    def test_matches_whole_grid_numpy(self, spark, tmp_path):
+        from gridfia_spark.constants import SPECIES
+
+        paths = self._epochs(spark, tmp_path)
+        spec, num = self._numpy_nums()
+        rows = {r.image_id: r for r in
+                zarrstore.trend_stores(spark, paths).collect()}
+        assert len(rows) == len(SPECIES) * spec.tiles_x * spec.tiles_y
+        for iid, r in rows.items():
+            import re as _re
+
+            m = _re.match(r"sp(\d{4})_tx(\d+)_ty(\d+)", iid)
+            s = [c for c, _ in SPECIES].index(m.group(1))
+            tx, ty = int(m.group(2)), int(m.group(3))
+            blk = num[s, ty * spec.tile_h:(ty + 1) * spec.tile_h,
+                      tx * spec.tile_w:(tx + 1) * spec.tile_w]
+            assert r.den == 6 and r.n_epochs == 3
+            assert r.sum_num == int(blk.sum())
+            assert r.min_num == int(blk.min())
+            assert r.max_num == int(blk.max())
+            assert r.n_rising == int((blk > 0).sum())
+
+    def test_absent_epoch_chunk_is_fill(self, spark, tmp_path):
+        paths = self._epochs(spark, tmp_path)
+        os.remove(os.path.join(paths[0], "biomass", "2.0.0"))
+        spec, num = self._numpy_nums()
+        # recompute tile (0,0) layer 2 with epoch 0 zeroed there
+        cube = pxgen.full_cube(spec).astype(np.int64)
+        th, tw = spec.tile_h, spec.tile_w
+        stack = np.stack([np.minimum(cube[2, 0:th, 0:tw], c)
+                          for c in self.CAPS])
+        stack[0] = 0
+        t = np.arange(3, dtype=np.int64)
+        blk = 3 * (stack * t[:, None, None]).sum(axis=0) - 3 * stack.sum(axis=0)
+        from gridfia_spark.constants import SPECIES
+
+        rows = {r.image_id: r for r in
+                zarrstore.trend_stores(spark, paths, species=[2]).collect()}
+        r = rows[f"sp{SPECIES[2][0]}_tx000_ty000"]
+        assert r.sum_num == int(blk.sum()) and r.max_num == int(blk.max())
+
+    def test_validation(self, spark, tmp_path):
+        paths = self._epochs(spark, tmp_path)
+        with pytest.raises(ValueError, match="at least 2"):
+            zarrstore.trend_stores(spark, paths[:1])
+        sh = str(tmp_path / "s.zarr")
+        zarrstore.write_sharded_store(
+            tgen.ensure_tiles(spark, SF_DIR), sh, shard_tiles=(2, 2)
+        )
+        with pytest.raises(ValueError, match="flat chunk layouts"):
+            zarrstore.trend_stores(spark, [paths[0], sh])
+
+    def test_plan_is_map_only(self, spark, tmp_path):
+        paths = self._epochs(spark, tmp_path)
+        plan = (zarrstore.trend_stores(spark, paths)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange hashpartitioning" not in plan
