@@ -81,6 +81,13 @@ def main() -> None:
         print(f"  {r.image_id}: {r.n_diff} px changed, "
               f"lost mass {r.delta_sum:.0f}")
 
+    # 3b. temporal trend across the two epochs (same zip, N-wide):
+    # exact int64 slope numerators; negative sum_num = biomass declining
+    tr = zarrstore.trend_stores(spark, [store_a, store_b])
+    declining = tr.filter("sum_num < 0").count()
+    print(f"trend: {declining} tiles with net-declining biomass "
+          f"(of {tr.count()})")
+
     # 4. zero-shuffle focal box sum (ghost reads) -> a tile table
     blur = focal.focal_sum3x3_store(spark, store_a, species=[0])
     st = decode.decode_stats(blur).agg({"vsum": "sum"}).first()[0]
