@@ -59,6 +59,7 @@ DRIVER_PRIORITY: list[str] = [
     "focal_store_sum",
     "streaming_store_ingest",
     "epoch_trend",
+    "compose_epochs",
     # oldest-evidence queries — absent from the r04 sample (VERDICT r4 §3)
     "knn_points",
     "caption_check",
@@ -84,7 +85,6 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q5",
     "segment_revenue",
     "user_sessions",
-    "dedup_exact",
     "token_stats",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
@@ -100,8 +100,9 @@ DRIVER_PRIORITY: list[str] = [
     # slots — session_windows / cohens_d / rare_common_global_thresholded /
     # top_event_users each keep a same-family representative in the
     # sample; percentile_stretch keeps zonal_percentiles + render_layers
-    # as its histpct-family evidence, clean_corpus / doc_fingerprint keep
-    # the text family's other head entries) ---
+    # as its histpct-family evidence, clean_corpus / doc_fingerprint /
+    # dedup_exact keep the text family's other head entries) ---
+    "dedup_exact",
     "doc_fingerprint",
     "clean_corpus",
     "percentile_stretch",

@@ -1070,6 +1070,88 @@ def epoch_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_COMPOSE_CLIP = 12  # the epoch-1 patch is the raster clipped at this
+
+
+def _o_compose(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    c = _COMPOSE_CLIP
+    codes = ",".join(f"({i},'{cd}')" for i, (cd, _) in enumerate(SPECIES))
+    return f"""WITH {osql.val_cte(spec)},
+allpx AS (
+  SELECT s, gx, gy, v FROM val
+  UNION ALL
+  SELECT 0 AS s, gx, gy, SUM(v) AS v FROM val GROUP BY gx, gy
+),
+eff AS (
+  SELECT s, gx, gy,
+         CASE WHEN ((gx // {tw}) + (gy // {th})) % 2 = 0
+              THEN LEAST(v, {c}) ELSE v END AS v
+  FROM allpx
+),
+spn(s, code) AS (SELECT * FROM (VALUES {codes}) v(s, code))
+SELECT printf('sp%s_tx%03d_ty%03d', n.code,
+              CAST(p.gx // {tw} AS INT), CAST(p.gy // {th} AS INT)) AS image_id,
+       p.s::INT AS s,
+       CAST(MIN(p.v) AS DOUBLE) AS vmin,
+       CAST(MAX(p.v) AS DOUBLE) AS vmax,
+       CAST(SUM(p.v) AS DOUBLE) AS vsum,
+       CAST(SUM(CASE WHEN p.v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero,
+       COUNT(*)::BIGINT AS npx
+FROM eff p JOIN spn n ON n.s = p.s
+GROUP BY 1, 2"""
+
+
+@q("compose_epochs", _o_compose)
+def compose_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins epoch compositing (compositing.compose_latest — the
+    raster MERGE INTO): epoch 0 is the full canonical table, epoch 1 a
+    PATCH covering only even-parity tiles with values clipped at 12; the
+    composite must show clipped pixels exactly on the patched tiles and
+    untouched originals everywhere else. The plan's load-bearing
+    property: partial max_by collapses duplicates map-side, so the one
+    shuffle carries ~one tile per image_id however many epochs pile up
+    (a window formulation would shuffle every epoch's bytes)."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .datagen.tiles import TILE_SCHEMA
+    from .operators import compositing
+
+    spec = spec_for_sf_dir(sf_dir)
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    meta = decode.with_tile_meta(tiles)
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    clip = float(_COMPOSE_CLIP)
+
+    def clipper(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = codecs.decode(r.bytes, r.w, r.h, r.fmt)
+                rows.append(
+                    (r.image_id,
+                     codecs.encode(_np.minimum(a, _np.float32(clip)), "rawz"),
+                     r.w, r.h, "rawz", r.caption, r.phash)
+                )
+            yield _pd.DataFrame(rows, columns=cols)
+
+    patch = (
+        meta.filter((F.col("tx") + F.col("ty")) % 2 == 0)
+        .select(*cols)
+        .mapInPandas(clipper, TILE_SCHEMA)
+    )
+    out = compositing.compose_latest([tiles, patch])
+    n = out.count()
+    assert n == len(SPECIES) * spec.tiles_x * spec.tiles_y, n
+    return decode.decode_stats(out).select(
+        "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
+    )
+
+
 # product/statistics queries (render, threshold kernels, bootstrap CI) —
 # imported last so their @q registrations land in the shared registry
 from . import queries_products  # noqa: E402,F401
