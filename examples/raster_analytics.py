@@ -88,6 +88,15 @@ def main() -> None:
     print(f"trend: {declining} tiles with net-declining biomass "
           f"(of {tr.count()})")
 
+    # 3c. compositing: build the current view (epoch B patches win over
+    # epoch A) — one shuffle, one tile per image_id
+    from gridfia_spark.operators import compositing
+
+    current = compositing.compose_latest(
+        [tiles, zarrstore.read_zarr_store(spark, store_b)]
+    )
+    print(f"composite current view: {current.count()} tiles")
+
     # 4. zero-shuffle focal box sum (ghost reads) -> a tile table
     blur = focal.focal_sum3x3_store(spark, store_a, species=[0])
     st = decode.decode_stats(blur).agg({"vsum": "sum"}).first()[0]
