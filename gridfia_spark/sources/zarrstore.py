@@ -975,15 +975,19 @@ def _affine_order(t: list | None) -> list | None:
 
 
 def _aligned_meta(
-    op: str, path: str, array: str | None, ref: ZarrMeta | None
+    op: str, path: str, array: str | None, ref: ZarrMeta | None,
+    allow_sharded: bool = False,
 ) -> tuple[ZarrMeta, str]:
     """Load a store's meta for a multi-store op and validate it against a
-    reference meta: flat layout required; shape, chunk grid, and
-    georeferencing (Affine-normalized, ``np.allclose``) must agree."""
+    reference meta: shape, INNER chunk grid, and georeferencing
+    (Affine-normalized, ``np.allclose``) must agree. With
+    ``allow_sharded`` the stores may pack chunks into shard objects —
+    ``zarr_meta`` normalizes ``chunks`` to the inner chunk shape, so a
+    flat epoch and a sharded epoch stay comparable chunk-for-chunk."""
     m = zarr_meta(path, array)
     if array is None:
         array = find_array(path)
-    if m.shard is not None:
+    if m.shard is not None and not allow_sharded:
         raise ValueError(
             f"{op} supports flat chunk layouts; scan sharded stores "
             "with read_zarr_store and join the tile tables instead"
@@ -1006,6 +1010,57 @@ def _aligned_meta(
                 f"{op}: georeferencing mismatch ({ta} vs {tb})"
             )
     return m, array
+
+
+class _ChunkReader:
+    """Uniform per-chunk random access over a FLAT or SHARDED store for
+    the store-zip operators (diff / trend). Flat: one file open per
+    chunk. Sharded: the shard object is opened once, its crc32c-guarded
+    index parsed, and the decoded inner chunks cached — iterating the
+    work list in (s, cy, cx) order means consecutive chunks usually hit
+    the cached shard, so the decode amplification stays ~1x. Instances
+    are closure-captured with an empty cache; each task mutates only its
+    own copy."""
+
+    def __init__(self, path: str, array: str, m: ZarrMeta):
+        self.adir = os.path.join(path, array)
+        self.enc = m.key_enc
+        self.comp = m.compressor
+        self.shard = m.shard
+        if m.shard is not None:
+            _, th, tw = (int(c) for c in m.chunks)
+            self.ks_y, self.ks_x = m.shard[1] // th, m.shard[2] // tw
+            self.index_codecs = m.index_codecs
+        self._cache: dict = {}
+
+    def load(self, s: int, cy: int, cx: int,
+             th: int, tw: int) -> np.ndarray | None:
+        if self.shard is None:
+            p = _chunk_file(self.adir, self.enc, s, cy, cx)
+            if not os.path.exists(p):
+                return None
+            with open(p, "rb") as fh:
+                raw = _decode_chunk_bytes(fh.read(), self.comp)
+            return np.frombuffer(raw, dtype="<f4").reshape(th, tw)
+        from . import sharding as _sh
+
+        key = (s, cy // self.ks_y, cx // self.ks_x)
+        if key not in self._cache:
+            if len(self._cache) >= 8:
+                self._cache.clear()
+            p = _chunk_file(self.adir, self.enc, *key)
+            if not os.path.exists(p):
+                self._cache[key] = {}
+            else:
+                with open(p, "rb") as fh:
+                    self._cache[key] = _sh.read_shard(
+                        fh.read(), self.ks_y, self.ks_x,
+                        self.comp, self.index_codecs,
+                    )
+        raw = self._cache[key].get((cy % self.ks_y, cx % self.ks_x))
+        if raw is None:
+            return None
+        return np.frombuffer(raw, dtype="<f4").reshape(th, tw)
 
 
 DIFF_SCHEMA = (
@@ -1035,9 +1090,16 @@ def diff_stores(
     georeferencing (``np.allclose``, same contract as ``append_layer``).
     A chunk absent from one side diffs against the Zarr fill value
     (zeros) — spec semantics, not an error; a chunk absent from BOTH is
-    skipped (identical by definition)."""
-    ma, array_a = _aligned_meta("diff_stores", path_a, array_a, None)
-    mb, array_b = _aligned_meta("diff_stores", path_b, array_b, ma)
+    skipped (identical by definition). Either epoch may also use the
+    ``sharding_indexed`` packed layout (or both, or mixed flat/sharded):
+    alignment is on the INNER chunk grid, and tasks read packed chunks
+    through the shard index (one object open per shard, cached)."""
+    ma, array_a = _aligned_meta(
+        "diff_stores", path_a, array_a, None, allow_sharded=True
+    )
+    mb, array_b = _aligned_meta(
+        "diff_stores", path_b, array_b, ma, allow_sharded=True
+    )
     n_layers, gh, gw = (int(x) for x in ma.shape)
     _, th, tw = (int(c) for c in ma.chunks)
     n_cy, n_cx = -(-gh // th), -(-gw // tw)
@@ -1046,32 +1108,24 @@ def diff_stores(
         sorted({int(s) for s in species}) if species is not None
         else list(range(n_layers))
     )
-    adir_a, adir_b = os.path.join(path_a, array_a), os.path.join(path_b, array_b)
-    enc_a, enc_b = ma.key_enc, mb.key_enc
-    comp_a, comp_b = ma.compressor, mb.compressor
+    reader_a = _ChunkReader(path_a, array_a, ma)
+    reader_b = _ChunkReader(path_b, array_b, mb)
+    items = [
+        (s, cy, cx)
+        for s in layers
+        for cy in range(n_cy)
+        for cx in range(n_cx)
+    ]
+    # ORDER-PRESERVING slicing (not repartition, which hash-scatters the
+    # list): consecutive chunks share a shard, so sharded reads hit the
+    # per-task shard cache instead of re-parsing the object per chunk
     work = spark.createDataFrame(
-        [
-            (s, cy, cx,
-             _chunk_file(adir_a, enc_a, s, cy, cx),
-             _chunk_file(adir_b, enc_b, s, cy, cx))
-            for s in layers
-            for cy in range(n_cy)
-            for cx in range(n_cx)
-        ],
-        "s int, cy int, cx int, pa string, pb string",
-    )
-    n_items = len(layers) * n_cy * n_cx
-    work = work.repartition(
-        min(n_items, spark.sparkContext.defaultParallelism * 4)
+        spark.sparkContext.parallelize(
+            items, min(len(items), spark.sparkContext.defaultParallelism * 4)
+        ),
+        "s int, cy int, cx int",
     )
     codes = {i: c for i, c in enumerate(stored_codes)}
-
-    def load(p: str, comp: str | None, eh: int, ew: int) -> np.ndarray | None:
-        if not os.path.exists(p):
-            return None
-        with open(p, "rb") as fh:
-            raw = _decode_chunk_bytes(fh.read(), comp)
-        return np.frombuffer(raw, dtype="<f4").reshape(eh, ew)
 
     def dd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1079,8 +1133,8 @@ def diff_stores(
             for r in pdf.itertuples(index=False):
                 # Zarr stores edge chunks PADDED to the full chunk shape
                 # (same contract as the read_zarr_store reshape)
-                a = load(r.pa, comp_a, th, tw)
-                b = load(r.pb, comp_b, th, tw)
+                a = reader_a.load(int(r.s), int(r.cy), int(r.cx), th, tw)
+                b = reader_b.load(int(r.s), int(r.cy), int(r.cx), th, tw)
                 if a is None and b is None:
                     continue
                 if a is None:
@@ -1137,16 +1191,22 @@ def trend_stores(
     (sum / min / max, plus the count of strictly-rising pixels) carry
     the full trend information without a float in sight — the DuckDB
     oracle reproduces every value bit-for-bit, and mean slope is
-    ``sum_num / (npx * den)`` on either side. Epochs may mix dialects;
+    ``sum_num / (npx * den)`` on either side. Epochs may mix dialects
+    AND layouts (flat or ``sharding_indexed`` — alignment is on the
+    inner chunk grid);
     alignment is validated pairwise (same contract as ``diff_stores``).
     Absent chunks read as the fill value (zeros) for that epoch."""
     if len(paths) < 2:
         raise ValueError("trend_stores needs at least 2 epochs")
     arrays = list(arrays) if arrays is not None else [None] * len(paths)
-    m0, a0 = _aligned_meta("trend_stores", paths[0], arrays[0], None)
+    m0, a0 = _aligned_meta(
+        "trend_stores", paths[0], arrays[0], None, allow_sharded=True
+    )
     metas = [(m0, a0)]
     for p, a in zip(paths[1:], arrays[1:]):
-        metas.append(_aligned_meta("trend_stores", p, a, m0))
+        metas.append(
+            _aligned_meta("trend_stores", p, a, m0, allow_sharded=True)
+        )
     n_layers, gh, gw = (int(x) for x in m0.shape)
     _, th, tw = (int(c) for c in m0.chunks)
     n_cy, n_cx = -(-gh // th), -(-gw // tw)
@@ -1159,18 +1219,20 @@ def trend_stores(
         sorted({int(s) for s in species}) if species is not None
         else list(range(n_layers))
     )
-    epoch_dirs = [os.path.join(p, a) for p, (_, a) in zip(paths, metas)]
-    epoch_encs = [m.key_enc for m, _ in metas]
-    epoch_comps = [m.compressor for m, _ in metas]
+    readers = [
+        _ChunkReader(p, a, m) for p, (m, a) in zip(paths, metas)
+    ]
     codes = {i: c for i, c in enumerate(stored_codes)}
+    items = [(s, cy, cx) for s in layers for cy in range(n_cy)
+             for cx in range(n_cx)]
+    # order-preserving slicing keeps consecutive chunks (same shard)
+    # in one task so sharded epochs hit the per-task shard cache
     work = spark.createDataFrame(
-        [(s, cy, cx) for s in layers for cy in range(n_cy)
-         for cx in range(n_cx)],
+        spark.sparkContext.parallelize(
+            items,
+            min(len(items), spark.sparkContext.defaultParallelism * 4),
+        ),
         "s int, cy int, cx int",
-    )
-    n_items = len(layers) * n_cy * n_cx
-    work = work.repartition(
-        min(n_items, spark.sparkContext.defaultParallelism * 4)
     )
 
     def tr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1180,14 +1242,9 @@ def trend_stores(
                 s, cy, cx = int(r.s), int(r.cy), int(r.cx)
                 stack = np.zeros((n, th, tw), dtype=np.int64)
                 for e in range(n):
-                    p = _chunk_file(epoch_dirs[e], epoch_encs[e], s, cy, cx)
-                    if not os.path.exists(p):
-                        continue
-                    with open(p, "rb") as fh:
-                        raw = _decode_chunk_bytes(fh.read(), epoch_comps[e])
-                    stack[e] = np.frombuffer(raw, dtype="<f4").reshape(
-                        th, tw
-                    ).astype(np.int64)
+                    arr = readers[e].load(s, cy, cx, th, tw)
+                    if arr is not None:
+                        stack[e] = arr.astype(np.int64)
                 sv = stack.sum(axis=0)
                 stv = (stack * t[:, None, None]).sum(axis=0)
                 num = n * stv - st * sv

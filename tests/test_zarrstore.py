@@ -668,16 +668,22 @@ class TestDiffStores:
             assert r.delta_sum == float(over.sum())
             assert r.max_abs == float(over.max(initial=0.0))
 
-    def test_shape_mismatch_and_sharded_refused(self, spark, tmp_path):
+    def test_mixed_flat_vs_sharded_diff(self, spark, tmp_path):
+        """A flat epoch diffs against a SHARDED epoch of the same raster
+        (alignment is on the inner chunk grid): all-zero diff, full row
+        count — packed layouts are first-class zip citizens."""
+        from gridfia_spark.constants import SPECIES, spec_for_sf_dir
+
         tiles = tgen.ensure_tiles(spark, SF_DIR)
         a = str(tmp_path / "a.zarr")
         zarrstore.write_zarr_store(tiles, a)
         sh = str(tmp_path / "s.zarr")
         zarrstore.write_sharded_store(tiles, sh, shard_tiles=(2, 2))
-        with pytest.raises(ValueError, match="flat chunk layouts"):
-            zarrstore.diff_stores(spark, a, sh)
-        with pytest.raises(ValueError, match="flat chunk layouts"):
-            zarrstore.diff_stores(spark, sh, a)
+        spec = spec_for_sf_dir(SF_DIR)
+        for x, y in ((a, sh), (sh, a)):
+            rows = zarrstore.diff_stores(spark, x, y).collect()
+            assert len(rows) == len(SPECIES) * spec.tiles_x * spec.tiles_y
+            assert all(r.n_diff == 0 and r.delta_sum == 0.0 for r in rows)
 
     def test_plan_is_map_only(self, spark, tmp_path):
         a, b = self._stores(spark, tmp_path)
@@ -773,16 +779,37 @@ class TestTrendStores:
         r = rows[f"sp{SPECIES[2][0]}_tx000_ty000"]
         assert r.sum_num == int(blk.sum()) and r.max_num == int(blk.max())
 
-    def test_validation(self, spark, tmp_path):
+    def test_validation_and_sharded_epoch(self, spark, tmp_path):
         paths = self._epochs(spark, tmp_path)
         with pytest.raises(ValueError, match="at least 2"):
             zarrstore.trend_stores(spark, paths[:1])
+        # a sharded UNCLIPPED epoch appended after the clipped ones:
+        # trend over [clip10, clip20, clip30, raw-sharded] must equal the
+        # numpy OLS over those four stacks (mixed layouts first-class)
         sh = str(tmp_path / "s.zarr")
         zarrstore.write_sharded_store(
             tgen.ensure_tiles(spark, SF_DIR), sh, shard_tiles=(2, 2)
         )
-        with pytest.raises(ValueError, match="flat chunk layouts"):
-            zarrstore.trend_stores(spark, [paths[0], sh])
+        from gridfia_spark.constants import spec_for_sf_dir
+
+        spec = spec_for_sf_dir(SF_DIR)
+        cube = pxgen.full_cube(spec).astype(np.int64)
+        stack = np.stack(
+            [np.minimum(cube, c) for c in self.CAPS] + [cube]
+        )
+        t = np.arange(4, dtype=np.int64)
+        st, stt = int(t.sum()), int((t * t).sum())
+        num = 4 * (stack * t[:, None, None, None]).sum(axis=0) - st * stack.sum(axis=0)
+        rows = {r.image_id: r for r in
+                zarrstore.trend_stores(spark, paths + [sh]).collect()}
+        from gridfia_spark.constants import SPECIES
+
+        th, tw = spec.tile_h, spec.tile_w
+        r = rows[f"sp{SPECIES[1][0]}_tx001_ty000"]
+        blk = num[1, 0:th, tw : 2 * tw]
+        assert r.den == 4 * stt - st * st
+        assert r.sum_num == int(blk.sum())
+        assert r.n_rising == int((blk > 0).sum())
 
     def test_plan_is_map_only(self, spark, tmp_path):
         paths = self._epochs(spark, tmp_path)
