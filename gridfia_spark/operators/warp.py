@@ -210,3 +210,181 @@ def warp_tiles(
     return packed.groupBy("s", "tty", "ttx").applyInPandas(
         phase2, TILE_SCHEMA
     )
+
+
+_B_SCHEMA = (
+    "s int, tty int, ttx int, ny int, nx int, "
+    "tys binary, txs binary, wy binary, wx binary, pbytes binary"
+)
+
+# weighted sums must survive the float32 re-encode losslessly
+_F32_EXACT_MAX = float(1 << 24)
+
+
+def warp_tiles_bilinear(
+    tiles: DataFrame,
+    spec: GridSpec,
+    map_x: tuple[int, int, int],
+    map_y: tuple[int, int, int],
+    fmt: str = "rawz",
+) -> DataFrame:
+    """EXACT bilinear regrid: target pixel (tgx, tgy) samples the
+    continuous source position ``((tgx*num + off) / den)`` per axis —
+    a rational with denominator ``den`` — so the four tap weights are
+    integers and the interpolated value is
+
+        value = num / (den_x * den_y),
+        num   = (dx-rx)(dy-ry)*v00 + rx(dy-ry)*v10
+              + (dx-rx)ry*v01 + rx*ry*v11      (all int64, exact)
+
+    The output tile table carries the NUMERATOR raster (lossless in
+    float32 while ``num < 2^24``; the denominator is the constant
+    ``warp_bilinear_den``), which keeps the whole operator — weights,
+    taps, seams — bit-checkable by an integer oracle; divide by the
+    constant for the conventional float raster. Taps clamp to the grid
+    edge (GDAL edge convention).
+
+    Plan: same gather as ``warp_tiles``, except each target pixel owns
+    up to FOUR taps that may live in different source tiles — phase 1
+    ships per-(source tile, target tile) PARTIAL weighted blocks (the
+    tap values it holds, with their integer weight vectors), and phase 2
+    accumulates ``num += block * wy ⊗ wx`` and verifies the weight mass
+    of every pixel equals ``dx*dy`` (a missing source tile raises, never
+    a silently darkened seam). The one shuffle carries at most 4x the
+    output pixels — still O(output), never O(input x fanout)."""
+    nx_, dx_, ox_ = (int(v) for v in map_x)
+    ny_, dy_, oy_ = (int(v) for v in map_y)
+    t_w, t_h = warp_extent(spec, map_x, map_y)
+    tw, th = spec.tile_w, spec.tile_h
+    gw, gh = spec.gw, spec.gh
+    codes = [c for c, _ in SPECIES]
+    names = [n for _, n in SPECIES]
+    D = dx_ * dy_
+    meta = with_tile_meta(tiles).select(
+        "bytes", "w", "h", "fmt", "s", "tx", "ty"
+    )
+
+    def taps_in(a: int, b: int, num: int, den: int, off: int,
+                t_px: int, g_px: int):
+        """Per axis, the two tap sets landing in source range [a, b):
+        (targets, local source col, weight) for the floor tap x0 and the
+        ceil tap x1 = min(x0+1, g_px-1)."""
+        lo0 = max(0, _ceil_div(a * den - off, num))
+        hi0 = min(t_px, _ceil_div(b * den - off, num))
+        t0 = np.arange(lo0, hi0, dtype=np.int64)
+        p0 = t0 * num + off
+        x0 = p0 // den
+        w0 = den - (p0 % den)  # weight of the floor tap: den - r
+        lo1 = max(0, _ceil_div((a - 1) * den - off, num))
+        hi1 = t_px if b >= g_px else min(
+            t_px, _ceil_div((b - 1) * den - off, num)
+        )
+        t1 = np.arange(lo1, hi1, dtype=np.int64)
+        p1 = t1 * num + off
+        x1 = np.minimum(p1 // den + 1, g_px - 1)
+        keep = (x1 >= a) & (x1 < b)
+        t1, x1, r1 = t1[keep], x1[keep], (p1 % den)[keep]
+        return (t0, x0 - a, w0), (t1, x1 - a, r1)
+
+    def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for row in pdf.itertuples(index=False):
+                x0g, y0g = int(row.tx) * tw, int(row.ty) * th
+                xs_sets = taps_in(
+                    x0g, x0g + int(row.w), nx_, dx_, ox_, t_w, gw
+                )
+                ys_sets = taps_in(
+                    y0g, y0g + int(row.h), ny_, dy_, oy_, t_h, gh
+                )
+                a = None
+                for tys, sys_, wy in ys_sets:
+                    for txs, sxs, wx in xs_sets:
+                        if not len(tys) or not len(txs):
+                            continue
+                        # zero-weight taps contribute nothing — drop them
+                        my = wy != 0
+                        mx = wx != 0
+                        if not my.any() or not mx.any():
+                            continue
+                        if a is None:
+                            a = codecs.decode(row.bytes, row.w, row.h, row.fmt)
+                        tys_k, sys_k, wy_k = tys[my], sys_[my], wy[my]
+                        txs_k, sxs_k, wx_k = txs[mx], sxs[mx], wx[mx]
+                        for tty in np.unique(tys_k // th):
+                            gy = (tys_k // th) == tty
+                            for ttx in np.unique(txs_k // tw):
+                                gx = (txs_k // tw) == ttx
+                                blk = a[np.ix_(sys_k[gy], sxs_k[gx])]
+                                out.append((
+                                    int(row.s), int(tty), int(ttx),
+                                    int(gy.sum()), int(gx.sum()),
+                                    (tys_k[gy] - tty * th).astype("<i4").tobytes(),
+                                    (txs_k[gx] - ttx * tw).astype("<i4").tobytes(),
+                                    wy_k[gy].astype("<i4").tobytes(),
+                                    wx_k[gx].astype("<i4").tobytes(),
+                                    np.ascontiguousarray(
+                                        blk, dtype="<f4"
+                                    ).tobytes(),
+                                ))
+            yield pd.DataFrame(
+                out,
+                columns=["s", "tty", "ttx", "ny", "nx",
+                         "tys", "txs", "wy", "wx", "pbytes"],
+            )
+
+    def phase2(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        s, tty, ttx = (int(k) for k in key)
+        ow = min(tw, t_w - ttx * tw)
+        oh = min(th, t_h - tty * th)
+        num = np.zeros((oh, ow), dtype=np.int64)
+        wmass = np.zeros((oh, ow), dtype=np.int64)
+        for r in pdf.itertuples(index=False):
+            ys = np.frombuffer(r.tys, dtype="<i4")
+            xs = np.frombuffer(r.txs, dtype="<i4")
+            wy = np.frombuffer(r.wy, dtype="<i4").astype(np.int64)
+            wx = np.frombuffer(r.wx, dtype="<i4").astype(np.int64)
+            blk = np.frombuffer(r.pbytes, dtype="<f4").reshape(
+                int(r.ny), int(r.nx)
+            ).astype(np.int64)
+            sel = np.ix_(ys, xs)
+            num[sel] += blk * wy[:, None] * wx[None, :]
+            wmass[sel] += wy[:, None] * wx[None, :]
+        if not (wmass == D).all():
+            bad = int((wmass != D).sum())
+            raise ValueError(
+                f"bilinear warp tile (s={s}, ty={tty}, tx={ttx}): {bad} "
+                f"pixels have weight mass != {D} — missing source tiles; "
+                "refusing to emit a darkened seam"
+            )
+        if num.max(initial=0) >= _F32_EXACT_MAX:
+            raise ValueError(
+                "bilinear numerators exceed float32 exact-integer range; "
+                "use smaller den factors or a wider tile format"
+            )
+        from ..datagen import pixels as pxgen
+
+        arr = num.astype(np.float32)
+        code, name = codes[s], names[s]
+        image_id = f"sp{code}_tx{ttx:03d}_ty{tty:03d}"
+        caption = (
+            f"species={code};name={name};tile=({ttx},{tty});"
+            f"warp=bilinear,x{nx_}/{dx_}+{ox_},y{ny_}/{dy_}+{oy_};"
+            f"den={D};units=Mg/ha*{D}"
+        )
+        return pd.DataFrame(
+            [(image_id, codecs.encode(arr, fmt), ow, oh, fmt,
+              caption, pxgen.phash64(arr))],
+            columns=["image_id", "bytes", "w", "h", "fmt", "caption",
+                     "phash"],
+        )
+
+    packed = meta.mapInPandas(phase1, _B_SCHEMA)
+    return packed.groupBy("s", "tty", "ttx").applyInPandas(
+        phase2, TILE_SCHEMA
+    )
+
+
+def warp_bilinear_den(map_x, map_y) -> int:
+    """The constant denominator of ``warp_tiles_bilinear`` numerators."""
+    return int(map_x[1]) * int(map_y[1])

@@ -60,6 +60,7 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_store_ingest",
     "epoch_trend",
     "compose_epochs",
+    "warp_bilinear",
     # oldest-evidence queries — absent from the r04 sample (VERDICT r4 §3)
     "knn_points",
     "caption_check",
@@ -86,7 +87,6 @@ DRIVER_PRIORITY: list[str] = [
     "segment_revenue",
     "user_sessions",
     "token_stats",
-    "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_portable",
     "lang_id",
@@ -101,7 +101,9 @@ DRIVER_PRIORITY: list[str] = [
     # top_event_users each keep a same-family representative in the
     # sample; percentile_stretch keeps zonal_percentiles + render_layers
     # as its histpct-family evidence, clean_corpus / doc_fingerprint /
-    # dedup_exact keep the text family's other head entries) ---
+    # dedup_exact / ngram_jaccard_pairs keep the text family's other
+    # head entries) ---
+    "ngram_jaccard_pairs",
     "dedup_exact",
     "doc_fingerprint",
     "clean_corpus",
@@ -631,6 +633,77 @@ def warp_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tiles = tgen.ensure_tiles(spark, sf_dir)
     out = warp.warp_tiles(
+        tiles, spec_for_sf_dir(sf_dir), _WARP_X, _WARP_Y
+    )
+    return decode.decode_stats(out).select(
+        "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
+    )
+
+
+def _o_warp_bilinear(sf_dir: str) -> str:
+    from .operators import warp as _w
+
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    gw, gh = spec.gw, spec.gh
+    t_w, t_h = _w.warp_extent(spec, _WARP_X, _WARP_Y)
+    nx, dx, ox = _WARP_X
+    ny, dy, oy = _WARP_Y
+    codes = ",".join(f"({i},'{c}')" for i, (c, _) in enumerate(SPECIES))
+    return f"""WITH {osql.val_cte(spec)},
+allpx AS (
+  SELECT s, gx, gy, v FROM val
+  UNION ALL
+  SELECT 0 AS s, gx, gy, SUM(v) AS v FROM val GROUP BY gx, gy
+),
+spn(s, code) AS (SELECT * FROM (VALUES {codes}) v(s, code)),
+tgt AS (
+  SELECT n.s AS s, n.code AS code, txs.tgx AS tgx, tys.tgy AS tgy,
+         (txs.tgx*{nx} + {ox}) // {dx} AS x0,
+         LEAST((txs.tgx*{nx} + {ox}) // {dx} + 1, {gw - 1}) AS x1,
+         (txs.tgx*{nx} + {ox}) % {dx} AS rx,
+         (tys.tgy*{ny} + {oy}) // {dy} AS y0,
+         LEAST((tys.tgy*{ny} + {oy}) // {dy} + 1, {gh - 1}) AS y1,
+         (tys.tgy*{ny} + {oy}) % {dy} AS ry
+  FROM spn n,
+       generate_series(0,{t_w - 1}) txs(tgx),
+       generate_series(0,{t_h - 1}) tys(tgy)
+),
+num AS (
+  SELECT t.s AS s, t.code AS code, t.tgx AS tgx, t.tgy AS tgy,
+         ({dx} - t.rx)*({dy} - t.ry)*p00.v + t.rx*({dy} - t.ry)*p10.v
+           + ({dx} - t.rx)*t.ry*p01.v + t.rx*t.ry*p11.v AS num
+  FROM tgt t
+  JOIN allpx p00 ON p00.s = t.s AND p00.gx = t.x0 AND p00.gy = t.y0
+  JOIN allpx p10 ON p10.s = t.s AND p10.gx = t.x1 AND p10.gy = t.y0
+  JOIN allpx p01 ON p01.s = t.s AND p01.gx = t.x0 AND p01.gy = t.y1
+  JOIN allpx p11 ON p11.s = t.s AND p11.gx = t.x1 AND p11.gy = t.y1
+)
+SELECT printf('sp%s_tx%03d_ty%03d', b.code,
+              CAST(b.tgx // {tw} AS INT), CAST(b.tgy // {th} AS INT)) AS image_id,
+       b.s::INT AS s,
+       CAST(MIN(b.num) AS DOUBLE) AS vmin,
+       CAST(MAX(b.num) AS DOUBLE) AS vmax,
+       CAST(SUM(b.num) AS DOUBLE) AS vsum,
+       CAST(SUM(CASE WHEN b.num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero,
+       COUNT(*)::BIGINT AS npx
+FROM num b
+GROUP BY 1, 2"""
+
+
+@q("warp_bilinear", _o_warp_bilinear)
+def warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT bilinear regrid (warp.warp_tiles_bilinear): rational source
+    positions make the four tap weights integers, so the engine emits the
+    interpolation NUMERATOR raster (value = num / (den_x*den_y)) and the
+    oracle reproduces every pixel in pure int64 — seams, edge clamps and
+    weights all bit-checked. Same anisotropic map as warp_regrid; the one
+    shuffle carries <= 4x the output pixels (partial weighted blocks),
+    and phase 2 verifies every pixel's weight mass."""
+    from .operators import warp
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    out = warp.warp_tiles_bilinear(
         tiles, spec_for_sf_dir(sf_dir), _WARP_X, _WARP_Y
     )
     return decode.decode_stats(out).select(

@@ -101,3 +101,79 @@ class TestWarp:
             warp.warp_extent(spec, (0, 1, 0), (1, 1, 0))
         with pytest.raises(ValueError, match="past the"):
             warp.warp_extent(spec, (1, 1, spec.gw), (1, 1, 0))
+
+
+class TestWarpBilinear:
+    @staticmethod
+    def _numpy_num(spec, map_x, map_y):
+        """(layers, t_h, t_w) int64 bilinear NUMERATOR plane with edge
+        clamp — the single-machine reference."""
+        cube = pixels.full_cube(spec).astype(np.int64)
+        nx, dx, ox = map_x
+        ny, dy, oy = map_y
+        t_w, t_h = warp.warp_extent(spec, map_x, map_y)
+        px = np.arange(t_w) * nx + ox
+        py = np.arange(t_h) * ny + oy
+        x0, rx = px // dx, px % dx
+        y0, ry = py // dy, py % dy
+        x1 = np.minimum(x0 + 1, spec.gw - 1)
+        y1 = np.minimum(y0 + 1, spec.gh - 1)
+        wx0, wx1 = dx - rx, rx
+        wy0, wy1 = dy - ry, ry
+        out = np.zeros((cube.shape[0], t_h, t_w), dtype=np.int64)
+        for s in range(cube.shape[0]):
+            a = cube[s]
+            out[s] = (
+                wy0[:, None] * wx0[None, :] * a[np.ix_(y0, x0)]
+                + wy0[:, None] * wx1[None, :] * a[np.ix_(y0, x1)]
+                + wy1[:, None] * wx0[None, :] * a[np.ix_(y1, x0)]
+                + wy1[:, None] * wx1[None, :] * a[np.ix_(y1, x1)]
+            )
+        return out
+
+    def test_matches_whole_grid_numpy(self, spark):
+        spec = spec_for_sf_dir(SF_DIR)
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        rows = warp.warp_tiles_bilinear(tiles, spec, MAP_X, MAP_Y).collect()
+        t_w, t_h = warp.warp_extent(spec, MAP_X, MAP_Y)
+        want = self._numpy_num(spec, MAP_X, MAP_Y)
+        planes = _assemble(rows, t_w, t_h)
+        for s in range(len(SPECIES)):
+            np.testing.assert_array_equal(
+                planes[s].astype(np.int64), want[s]
+            )
+
+    def test_identity_map_is_source(self, spark):
+        """(1,1,0) both axes: r=0 everywhere, D=1 — output == input."""
+        spec = spec_for_sf_dir(SF_DIR)
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        out = warp.warp_tiles_bilinear(
+            tiles, spec, (1, 1, 0), (1, 1, 0)
+        ).collect()
+        src = {r["image_id"]: r for r in tiles.collect()}
+        for r in out:
+            a = codecs.decode(r["bytes"], r["w"], r["h"], r["fmt"])
+            o = src[r["image_id"]]
+            b = codecs.decode(o["bytes"], o["w"], o["h"], o["fmt"])
+            np.testing.assert_array_equal(a, b)
+
+    def test_missing_tile_fails_weight_mass(self, spark):
+        spec = spec_for_sf_dir(SF_DIR)
+        tiles = tgen.ensure_tiles(spark, SF_DIR).filter(
+            F.col("image_id") != "sp0000_tx000_ty000"
+        )
+        with pytest.raises(Exception, match="weight mass"):
+            warp.warp_tiles_bilinear(tiles, spec, MAP_X, MAP_Y).collect()
+
+    def test_plan_single_exchange_no_tile_bytes(self, spark):
+        spec = spec_for_sf_dir(SF_DIR)
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        plan = (
+            warp.warp_tiles_bilinear(tiles, spec, MAP_X, MAP_Y)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+        m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert m and "bytes" not in m.group(1)
