@@ -193,7 +193,10 @@ def focal_sum3x3_store(
     — the plan is a single map stage. Sums are exact int64 (inputs are
     integer-valued float32 <= 255, 9x sums stay < 2^24, so the float32
     re-encode is lossless). Output is a full TILE_SCHEMA tile table —
-    every per-tile operator composes over it.
+    every per-tile operator composes over it. Works over flat AND
+    ``sharding_indexed`` stores (packed chunks read through the
+    per-task cached shard index — a neighborhood usually spans 1-2
+    shard objects, not 9 files).
 
     GIS focal statistics (the reference has no focal operator; this is
     the §2-extension raster form of the focal-mean/blur primitive, and
@@ -206,12 +209,6 @@ def focal_sum3x3_store(
     if array is None:
         array = _zs.find_array(path)
     m = _zs.zarr_meta(path, array)
-    if m.shard is not None:
-        raise ValueError(
-            "focal_sum3x3_store supports flat chunk layouts; scan sharded "
-            "stores with read_zarr_store and use edge_energy-style "
-            "exchange instead"
-        )
     n_layers, gh, gw = (int(x) for x in m.shape)
     _, th, tw = (int(c) for c in m.chunks)
     n_cy, n_cx = -(-gh // th), -(-gw // tw)
@@ -223,16 +220,16 @@ def focal_sum3x3_store(
         sorted({int(s) for s in species}) if species is not None
         else list(range(n_layers))
     )
-    adir = os.path.join(path, array)
-    key_enc, comp = m.key_enc, m.compressor
+    reader = _zs._ChunkReader(path, array, m)
+    items = [(s, cy, cx) for s in layers for cy in range(n_cy)
+             for cx in range(n_cx)]
+    # order-preserving slicing (not repartition) so sharded stores hit
+    # the per-task shard cache for the neighborhood loads
     work = spark.createDataFrame(
-        [(s, cy, cx) for s in layers for cy in range(n_cy)
-         for cx in range(n_cx)],
+        spark.sparkContext.parallelize(
+            items, min(len(items), spark.sparkContext.defaultParallelism * 4)
+        ),
         "s int, cy int, cx int",
-    )
-    n_items = len(layers) * n_cy * n_cx
-    work = work.repartition(
-        min(n_items, spark.sparkContext.defaultParallelism * 4)
     )
     codes = {
         i: (c, stored_names[i] if i < len(stored_names) else c)
@@ -240,17 +237,11 @@ def focal_sum3x3_store(
     }
 
     def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import os as _os
-
         def chunk(s: int, cy: int, cx: int) -> np.ndarray | None:
             if not (0 <= cy < n_cy and 0 <= cx < n_cx):
                 return None
-            p = _zs._chunk_file(adir, key_enc, s, cy, cx)
-            if not _os.path.exists(p):
-                return None  # absent chunk == fill value (zeros)
-            with open(p, "rb") as fh:
-                raw = _zs._decode_chunk_bytes(fh.read(), comp)
-            return np.frombuffer(raw, dtype="<f4").reshape(th, tw)
+            # absent chunk == fill value (zeros)
+            return reader.load(s, cy, cx, th, tw)
 
         for pdf in batches:
             rows = []

@@ -175,7 +175,7 @@ class TestFocalStoreSum:
         np.testing.assert_array_equal(got, wz[0:th, tw : 2 * tw])
         assert not np.array_equal(got, want[0:th, tw : 2 * tw])
 
-    def test_species_pruning_and_refusals(self, spark, tmp_path):
+    def test_species_pruning_and_sharded_store(self, spark, tmp_path):
         from gridfia_spark.constants import SPECIES
         from gridfia_spark.datagen import tiles as tg
         from gridfia_spark.sources import zarrstore
@@ -185,14 +185,21 @@ class TestFocalStoreSum:
         out = focal.focal_sum3x3_store(spark, store, species=[2]).collect()
         assert len(out) == spec.tiles_x * spec.tiles_y
         assert all(r["image_id"].startswith(f"sp{SPECIES[2][0]}") for r in out)
+        # a SHARDED store blurs to identical pixels (neighborhood loads
+        # go through the cached shard index; seams cross shard borders)
         sh = str(tmp_path / "s.zarr")
         zarrstore.write_sharded_store(
             tg.ensure_tiles(spark, SF_DIR), sh, shard_tiles=(2, 2)
         )
-        import pytest as _pt
+        from gridfia_spark import codecs as _codecs
 
-        with _pt.raises(ValueError, match="flat chunk layouts"):
-            focal.focal_sum3x3_store(spark, sh)
+        flat = {r["image_id"]: r for r in
+                focal.focal_sum3x3_store(spark, store).collect()}
+        for r in focal.focal_sum3x3_store(spark, sh).collect():
+            a = _codecs.decode(r["bytes"], r["w"], r["h"], r["fmt"])
+            f = flat[r["image_id"]]
+            b = _codecs.decode(f["bytes"], f["w"], f["h"], f["fmt"])
+            np.testing.assert_array_equal(a, b)
 
     def test_plan_is_map_only(self, spark, tmp_path):
         store = self._store(spark, tmp_path)
