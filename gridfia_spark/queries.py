@@ -61,6 +61,7 @@ DRIVER_PRIORITY: list[str] = [
     "epoch_trend",
     "compose_epochs",
     "warp_bilinear",
+    "histogram_match",
     # oldest-evidence queries — absent from the r04 sample (VERDICT r4 §3)
     "knn_points",
     "caption_check",
@@ -88,7 +89,6 @@ DRIVER_PRIORITY: list[str] = [
     "user_sessions",
     "token_stats",
     "minhash_lsh_pairs",
-    "simhash_portable",
     "lang_id",
     "cosine_topk",
     "ann_recall",
@@ -101,8 +101,9 @@ DRIVER_PRIORITY: list[str] = [
     # top_event_users each keep a same-family representative in the
     # sample; percentile_stretch keeps zonal_percentiles + render_layers
     # as its histpct-family evidence, clean_corpus / doc_fingerprint /
-    # dedup_exact / ngram_jaccard_pairs keep the text family's other
-    # head entries) ---
+    # dedup_exact / ngram_jaccard_pairs / simhash_portable keep the text
+    # family's other head entries) ---
+    "simhash_portable",
     "ngram_jaccard_pairs",
     "dedup_exact",
     "doc_fingerprint",

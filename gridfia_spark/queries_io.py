@@ -1152,6 +1152,96 @@ def compose_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MATCH_CLIP = 25  # the drifted epoch = the raster clipped at this
+
+
+def _o_hist_match(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    c = _MATCH_CLIP
+    codes = ",".join(f"({i},'{cd}')" for i, (cd, _) in enumerate(SPECIES))
+    return f"""WITH {osql.val_cte(spec)},
+allpx AS (
+  SELECT s, gx, gy, v FROM val
+  UNION ALL
+  SELECT 0 AS s, gx, gy, SUM(v) AS v FROM val GROUP BY gx, gy
+),
+hb AS (SELECT s, LEAST(v, {c}) AS v, COUNT(*)::BIGINT AS cnt
+       FROM allpx GROUP BY 1, 2),
+ha AS (SELECT s, v, COUNT(*)::BIGINT AS cnt FROM allpx GROUP BY 1, 2),
+cb AS (SELECT s, v,
+              CAST(SUM(cnt) OVER (PARTITION BY s ORDER BY v) AS BIGINT) AS cum,
+              CAST(SUM(cnt) OVER (PARTITION BY s) AS BIGINT) AS n
+       FROM hb),
+ca AS (SELECT s, v,
+              CAST(SUM(cnt) OVER (PARTITION BY s ORDER BY v) AS BIGINT) AS cum,
+              CAST(SUM(cnt) OVER (PARTITION BY s) AS BIGINT) AS n
+       FROM ha),
+mp AS (
+  SELECT b.s AS s, b.v AS v, MIN(a.v) AS a
+  FROM cb b JOIN ca a ON a.s = b.s AND a.cum * b.n >= b.cum * a.n
+  GROUP BY 1, 2
+),
+mpx AS (
+  SELECT p.s AS s, p.gx AS gx, p.gy AS gy, m.a AS v
+  FROM allpx p JOIN mp m ON m.s = p.s AND m.v = LEAST(p.v, {c})
+),
+spn(s, code) AS (SELECT * FROM (VALUES {codes}) v(s, code))
+SELECT printf('sp%s_tx%03d_ty%03d', n.code,
+              CAST(p.gx // {tw} AS INT), CAST(p.gy // {th} AS INT)) AS image_id,
+       p.s::INT AS s,
+       CAST(MIN(p.v) AS DOUBLE) AS vmin,
+       CAST(MAX(p.v) AS DOUBLE) AS vmax,
+       CAST(SUM(p.v) AS DOUBLE) AS vsum,
+       CAST(SUM(CASE WHEN p.v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero,
+       COUNT(*)::BIGINT AS npx
+FROM mpx p JOIN spn n ON n.s = p.s
+GROUP BY 1, 2"""
+
+
+@q("histogram_match", _o_hist_match)
+def histogram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact radiometric normalization (normalize.histogram_match): a
+    drifted epoch (the raster clipped at 25 — a saturated sensor) is
+    remapped through the monotone integer quantile map onto the
+    reference epoch's per-layer distribution; the map, built from exact
+    value histograms with cross-multiplied rational compares, is
+    regenerated bit-for-bit by the SQL oracle. Two tiny histogram jobs
+    + one map-only transform; tile bytes never shuffle."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .datagen.tiles import TILE_SCHEMA
+    from .operators import normalize
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    clip = float(_MATCH_CLIP)
+
+    def clipper(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = codecs.decode(r.bytes, r.w, r.h, r.fmt)
+                rows.append(
+                    (r.image_id,
+                     codecs.encode(_np.minimum(a, _np.float32(clip)), "rawz"),
+                     r.w, r.h, "rawz", r.caption, r.phash)
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption",
+                         "phash"],
+            )
+
+    drifted = tiles.mapInPandas(clipper, TILE_SCHEMA)
+    out = normalize.histogram_match(drifted, tiles)
+    return decode.decode_stats(out).select(
+        "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
+    )
+
+
 # product/statistics queries (render, threshold kernels, bootstrap CI) —
 # imported last so their @q registrations land in the shared registry
 from . import queries_products  # noqa: E402,F401
