@@ -81,6 +81,33 @@ def main() -> None:
         print(f"  {r.image_id}: {r.n_diff} px changed, "
               f"lost mass {r.delta_sum:.0f}")
 
+    # 3a'. radiometric normalization: a GAIN-miscalibrated copy of epoch
+    # A (every value x2 — a strictly monotone sensor drift) would read
+    # as massive fake change; histogram matching onto A's distribution
+    # recovers it EXACTLY, so only real change survives the diff
+    from gridfia_spark.operators import normalize
+
+    def gain2(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = codecs.decode(r.bytes, r.w, r.h, r.fmt)
+                rows.append((r.image_id, codecs.encode(a * 2.0, "rawz"),
+                             r.w, r.h, "rawz", r.caption, r.phash))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+
+    drifted = tiles.mapInPandas(gain2, TILE_SCHEMA)
+    fixed = normalize.histogram_match(drifted, tiles)
+    store_fix = f"{work}/drifted_normalized.zarr"
+    zarrstore.write_zarr_store(fixed, store_fix)
+    resid = zarrstore.diff_stores(spark, store_a, store_fix)
+    n_bad = resid.filter("n_diff > 0").count()
+    print(f"normalization: gain-x2 drift matched back — "
+          f"{n_bad} chunks differ from epoch A (expect 0)")
+
     # 3b. temporal trend across the two epochs (same zip, N-wide):
     # exact int64 slope numerators; negative sum_num = biomass declining
     tr = zarrstore.trend_stores(spark, [store_a, store_b])
