@@ -180,6 +180,7 @@ def focal_sum3x3_store(
     array: str | None = None,
     species: list[int] | None = None,
     fmt: str = "rawz",
+    stat: str = "sum",
 ) -> DataFrame:
     """Raster-OUTPUT focal statistic (3x3 box sum, zero-padded at the
     global boundary) computed directly over a persisted store with ZERO
@@ -198,9 +199,19 @@ def focal_sum3x3_store(
     per-task cached shard index — a neighborhood usually spans 1-2
     shard objects, not 9 files).
 
+    ``stat`` selects the neighborhood reduction — ``"sum"`` (default,
+    zero-padded at the global boundary), ``"min"`` or ``"max"``
+    (boundary pixels reduce over their EXISTING neighbors only, the
+    ESRI focal-statistics edge convention — zero-padding would corrupt
+    a min). An absent chunk INSIDE the grid is still the Zarr fill
+    value (zeros) for every stat, valid data by spec.
+
     GIS focal statistics (the reference has no focal operator; this is
-    the §2-extension raster form of the focal-mean/blur primitive, and
-    the image box-blur of a multimodal corpus pipeline)."""
+    the §2-extension raster form of the focal-statistics primitive —
+    sum/blur, erosion (min), dilation (max) — and the image box-blur of
+    a multimodal corpus pipeline)."""
+    if stat not in ("sum", "min", "max"):
+        raise ValueError(f"unsupported focal stat {stat!r} (sum/min/max)")
     from ..constants import SPECIES as _SP
     from ..datagen import pixels as pxgen
     from ..datagen.tiles import TILE_SCHEMA
@@ -251,35 +262,63 @@ def focal_sum3x3_store(
                 if me is None:
                     me = np.zeros((th, tw), dtype=np.float32)
                 # padded halo plane: edges from the 4 side neighbors'
-                # adjacent strips, corners from the diagonals' corner px
+                # adjacent strips, corners from the diagonals' corner px.
+                # V marks positions INSIDE the grid (an absent chunk in
+                # the grid is fill=0 and VALID; outside the grid is not)
                 P = np.zeros((th + 2, tw + 2), dtype=np.int64)
+                V = np.zeros((th + 2, tw + 2), dtype=bool)
                 P[1:-1, 1:-1] = me.astype(np.int64)
+                V[1:-1, 1:-1] = True
                 up = chunk(s, cy - 1, cx)
                 dn = chunk(s, cy + 1, cx)
                 lf = chunk(s, cy, cx - 1)
                 rt = chunk(s, cy, cx + 1)
-                if up is not None:
-                    P[0, 1:-1] = up[-1, :].astype(np.int64)
-                if dn is not None:
-                    P[-1, 1:-1] = dn[0, :].astype(np.int64)
-                if lf is not None:
-                    P[1:-1, 0] = lf[:, -1].astype(np.int64)
-                if rt is not None:
-                    P[1:-1, -1] = rt[:, 0].astype(np.int64)
+                if cy > 0:
+                    V[0, 1:-1] = True
+                    if up is not None:
+                        P[0, 1:-1] = up[-1, :].astype(np.int64)
+                if cy < n_cy - 1:
+                    V[-1, 1:-1] = True
+                    if dn is not None:
+                        P[-1, 1:-1] = dn[0, :].astype(np.int64)
+                if cx > 0:
+                    V[1:-1, 0] = True
+                    if lf is not None:
+                        P[1:-1, 0] = lf[:, -1].astype(np.int64)
+                if cx < n_cx - 1:
+                    V[1:-1, -1] = True
+                    if rt is not None:
+                        P[1:-1, -1] = rt[:, 0].astype(np.int64)
                 for dy, dx, rr, cc in (
                     (-1, -1, 0, 0), (-1, 1, 0, tw + 1),
                     (1, -1, th + 1, 0), (1, 1, th + 1, tw + 1),
                 ):
-                    d = chunk(s, cy + dy, cx + dx)
-                    if d is not None:
-                        P[rr, cc] = int(d[-1 if dy < 0 else 0,
-                                          -1 if dx < 0 else 0])
-                out = (
-                    P[:-2, :-2] + P[:-2, 1:-1] + P[:-2, 2:]
-                    + P[1:-1, :-2] + P[1:-1, 1:-1] + P[1:-1, 2:]
-                    + P[2:, :-2] + P[2:, 1:-1] + P[2:, 2:]
-                )
+                    if 0 <= cy + dy < n_cy and 0 <= cx + dx < n_cx:
+                        V[rr, cc] = True
+                        d = chunk(s, cy + dy, cx + dx)
+                        if d is not None:
+                            P[rr, cc] = int(d[-1 if dy < 0 else 0,
+                                              -1 if dx < 0 else 0])
+                shifts = [
+                    (P[a:a + th, b:b + tw], V[a:a + th, b:b + tw])
+                    for a in (0, 1, 2) for b in (0, 1, 2)
+                ]
+                if stat == "sum":
+                    # zero-padded: invalid positions hold 0 already
+                    out = sum(pp for pp, _ in shifts)
+                elif stat == "max":
+                    out = np.max(
+                        [np.where(vv, pp, np.int64(-1)) for pp, vv in shifts],
+                        axis=0,
+                    )
+                else:  # min over existing neighbors
+                    big = np.int64(1) << 40
+                    out = np.min(
+                        [np.where(vv, pp, big) for pp, vv in shifts],
+                        axis=0,
+                    )
                 arr = out.astype(np.float32)
+                units = "Mg/ha*9px" if stat == "sum" else "Mg/ha"
                 code, nm = codes[s]
                 rows.append(
                     (
@@ -289,7 +328,7 @@ def focal_sum3x3_store(
                         th,
                         fmt,
                         f"species={code};name={nm};tile=({cx},{cy});"
-                        f"op=focal_sum3x3;units=Mg/ha*9px",
+                        f"op=focal_{stat}3x3;units={units}",
                         pxgen.phash64(arr),
                     )
                 )

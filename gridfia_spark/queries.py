@@ -62,6 +62,7 @@ DRIVER_PRIORITY: list[str] = [
     "compose_epochs",
     "warp_bilinear",
     "histogram_match",
+    "focal_store_max",
     # oldest-evidence queries — absent from the r04 sample (VERDICT r4 §3)
     "knn_points",
     "caption_check",
@@ -89,7 +90,6 @@ DRIVER_PRIORITY: list[str] = [
     "user_sessions",
     "token_stats",
     "minhash_lsh_pairs",
-    "lang_id",
     "cosine_topk",
     "ann_recall",
     "ivf_trained_contract",
@@ -101,8 +101,9 @@ DRIVER_PRIORITY: list[str] = [
     # top_event_users each keep a same-family representative in the
     # sample; percentile_stretch keeps zonal_percentiles + render_layers
     # as its histpct-family evidence, clean_corpus / doc_fingerprint /
-    # dedup_exact / ngram_jaccard_pairs / simhash_portable keep the text
-    # family's other head entries) ---
+    # dedup_exact / ngram_jaccard_pairs / simhash_portable / lang_id
+    # keep the text family's other head entries) ---
+    "lang_id",
     "simhash_portable",
     "ngram_jaccard_pairs",
     "dedup_exact",
@@ -577,6 +578,67 @@ def focal_store_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         zarrstore.write_zarr_store(tiles, store)
         open(marker, "w").close()
     out = focal.focal_sum3x3_store(spark, store)
+    return decode.decode_stats(out).select(
+        "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
+    )
+
+
+def _o_focal_max(sf_dir: str) -> str:
+    spec = spec_for_sf_dir(sf_dir)
+    tw, th = spec.tile_w, spec.tile_h
+    codes = ",".join(f"({i},'{c}')" for i, (c, _) in enumerate(SPECIES))
+    offs = ",".join(f"({dx},{dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""WITH {osql.val_cte(spec)},
+allpx AS (
+  SELECT s, gx, gy, v FROM val
+  UNION ALL
+  SELECT 0 AS s, gx, gy, SUM(v) AS v FROM val GROUP BY gx, gy
+),
+d(dx, dy) AS (SELECT * FROM (VALUES {offs}) v(dx, dy)),
+blur AS (
+  -- existing-neighbors convention falls out of the join-free shift
+  -- form: only real pixels contribute to each window
+  SELECT s, gx + dx AS gx, gy + dy AS gy, MAX(v) AS v
+  FROM allpx, d
+  WHERE gx + dx BETWEEN 0 AND {spec.gw - 1}
+    AND gy + dy BETWEEN 0 AND {spec.gh - 1}
+  GROUP BY 1, 2, 3
+),
+spn(s, code) AS (SELECT * FROM (VALUES {codes}) v(s, code))
+SELECT printf('sp%s_tx%03d_ty%03d', n.code,
+              CAST(b.gx // {tw} AS INT), CAST(b.gy // {th} AS INT)) AS image_id,
+       b.s::INT AS s,
+       CAST(MIN(b.v) AS DOUBLE) AS vmin,
+       CAST(MAX(b.v) AS DOUBLE) AS vmax,
+       CAST(SUM(b.v) AS DOUBLE) AS vsum,
+       CAST(SUM(CASE WHEN b.v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero,
+       COUNT(*)::BIGINT AS npx
+FROM blur b JOIN spn n ON n.s = b.s
+GROUP BY 1, 2"""
+
+
+@q("focal_store_max", _o_focal_max)
+def focal_store_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greyscale DILATION over a persisted store (focal_sum3x3_store
+    with stat='max' — the morphological sibling of the box sum, same
+    zero-shuffle ghost-read plan): boundary pixels reduce over their
+    EXISTING neighbors only (the ESRI focal-statistics edge convention;
+    zero-padding is only correct for sums)."""
+    import os as _os
+    import shutil as _sh
+
+    from .operators import focal
+    from .queries_io import _cache
+    from .sources import zarrstore
+
+    store = _cache(sf_dir, "focalstore") + ".zarr"
+    marker = _os.path.join(store, "_DONE")
+    if not _os.path.exists(marker):
+        _sh.rmtree(store, ignore_errors=True)
+        tiles = tgen.ensure_tiles(spark, sf_dir)
+        zarrstore.write_zarr_store(tiles, store)
+        open(marker, "w").close()
+    out = focal.focal_sum3x3_store(spark, store, stat="max")
     return decode.decode_stats(out).select(
         "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
     )

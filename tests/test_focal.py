@@ -210,3 +210,62 @@ class TestFocalStoreSum:
             .toString()
         )
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestFocalMinMax:
+    @staticmethod
+    def _numpy_stat(spec, stat):
+        """(layers, gh, gw) focal min/max over EXISTING 3x3 neighbors."""
+        cube = pixels.full_cube(spec).astype(np.int64)
+        n, gh, gw = cube.shape
+        big = np.int64(1) << 40
+        pad_v = -1 if stat == "max" else big
+        P = np.full((n, gh + 2, gw + 2), pad_v, np.int64)
+        P[:, 1:-1, 1:-1] = cube
+        planes = [
+            P[:, a : a + gh, b : b + gw]
+            for a in (0, 1, 2)
+            for b in (0, 1, 2)
+        ]
+        return (np.max if stat == "max" else np.min)(planes, axis=0)
+
+    def test_min_and_max_match_numpy(self, spark, tmp_path):
+        import re as _re
+
+        from gridfia_spark import codecs
+        from gridfia_spark.constants import SPECIES
+        from gridfia_spark.sources import zarrstore
+
+        spec = spec_for_sf_dir(SF_DIR)
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "f.zarr")
+        zarrstore.write_zarr_store(tiles, store)
+        code_to_s = {c: i for i, (c, _) in enumerate(SPECIES)}
+        for stat in ("min", "max"):
+            want = self._numpy_stat(spec, stat)
+            for r in focal.focal_sum3x3_store(
+                spark, store, stat=stat
+            ).collect():
+                m = _re.match(r"sp(\d{4})_tx(\d+)_ty(\d+)", r["image_id"])
+                s = code_to_s[m.group(1)]
+                tx, ty = int(m.group(2)), int(m.group(3))
+                got = codecs.decode(
+                    r["bytes"], r["w"], r["h"], r["fmt"]
+                ).astype(np.int64)
+                blk = want[
+                    s,
+                    ty * spec.tile_h : (ty + 1) * spec.tile_h,
+                    tx * spec.tile_w : (tx + 1) * spec.tile_w,
+                ]
+                np.testing.assert_array_equal(got, blk, err_msg=stat)
+
+    def test_bad_stat_refused(self, spark, tmp_path):
+        import pytest as _pt
+
+        from gridfia_spark.sources import zarrstore
+
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        store = str(tmp_path / "g.zarr")
+        zarrstore.write_zarr_store(tiles, store)
+        with _pt.raises(ValueError, match="unsupported focal stat"):
+            focal.focal_sum3x3_store(spark, store, stat="median")
