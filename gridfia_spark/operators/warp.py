@@ -388,3 +388,61 @@ def warp_tiles_bilinear(
 def warp_bilinear_den(map_x, map_y) -> int:
     """The constant denominator of ``warp_tiles_bilinear`` numerators."""
     return int(map_x[1]) * int(map_y[1])
+
+
+def warp_affine(
+    src_affine: list[float],
+    map_x: tuple[int, int, int],
+    map_y: tuple[int, int, int],
+) -> list[float]:
+    """Affine (rasterio order a,b,c,d,e,f) of the warped grid, composed
+    from the SOURCE grid's affine: target pixel step is the source step
+    times num/den, and the origin shifts by off/den source pixels —
+    so chained warps compose correctly instead of claiming the source
+    grid's georeferencing."""
+    nx, dx, ox = (int(v) for v in map_x)
+    ny, dy, oy = (int(v) for v in map_y)
+    a, b, c, d, e, f = (float(v) for v in src_affine)
+    if b or d:
+        raise ValueError("warp_affine requires an axis-aligned affine")
+    return [a * nx / dx, 0.0, c + a * ox / dx,
+            0.0, e * ny / dy, f + e * oy / dy]
+
+
+def warp_store(
+    spark,
+    src_store: str,
+    dst_store: str,
+    map_x: tuple[int, int, int],
+    map_y: tuple[int, int, int],
+    spec: GridSpec | None = None,
+    bilinear: bool = False,
+    **store_kw,
+) -> int:
+    """Warp a persisted cube end to end: scan ``src_store`` -> regrid ->
+    write ``dst_store`` whose ROOT georeferencing is the COMPOSED affine
+    (pixel size scaled by num/den, origin shifted by off/den), not a
+    copy of the source's — the metadata mistake this helper exists to
+    prevent. ``spec`` defaults to the source store's grid. Returns the
+    chunk count of the destination store."""
+    from ..sources import zarrstore as _zs
+
+    m = _zs.zarr_meta(src_store)
+    if spec is None:
+        n_layers, gh, gw = (int(x) for x in m.shape)
+        _, th, tw = (int(c) for c in m.chunks)
+        if gh % th or gw % tw:
+            raise ValueError(
+                "warp_store needs a chunk-aligned source grid"
+            )
+        spec = GridSpec(gw // tw, gh // th, tw, th)
+    src_t = _zs._affine_order(m.attrs.get("transform")) or [
+        30.0, 0.0, 0.0, 0.0, -30.0, 0.0
+    ]
+    tiles = _zs.read_zarr_store(spark, src_store)
+    f = warp_tiles_bilinear if bilinear else warp_tiles
+    out = f(tiles, spec, map_x, map_y)
+    return _zs.write_zarr_store(
+        out, dst_store, transform=warp_affine(src_t, map_x, map_y),
+        **store_kw,
+    )

@@ -67,17 +67,25 @@ from ..operators import decode
 ZARR_FORMAT = 2  # default write dialect (back-compat)
 
 
-def _root_attrs(n_layers: int, gw: int, gh: int, codes=None, names=None) -> dict:
+def _root_attrs(n_layers: int, gw: int, gh: int, codes=None, names=None,
+                transform: list | None = None) -> dict:
     """Root-group attributes in the REFERENCE's layout (zarr_utils.py:
     721-726): transform is rasterio Affine order (a,b,c,d,e,f) =
     (PIX, 0, X0, 0, -PIX, Y0) — NOT the GDAL-style order the engine uses
-    in captions; bounds are (left, bottom, right, top)."""
+    in captions; bounds are (left, bottom, right, top). ``transform``
+    overrides the canonical affine (derived products on a DIFFERENT
+    grid — e.g. a warped cube — must not claim the source grid's
+    georeferencing); bounds follow from it."""
     codes = codes if codes is not None else [c for c, _ in SPECIES[:n_layers]]
     names = names if names is not None else [n for _, n in SPECIES[:n_layers]]
+    t = list(transform) if transform is not None else [
+        PIX, 0.0, X0, 0.0, -PIX, Y0
+    ]
+    a, _, c, _, e, f = t
     return {
         "crs": CRS,
-        "transform": [PIX, 0.0, X0, 0.0, -PIX, Y0],
-        "bounds": [X0, Y0 - gh * PIX, X0 + gw * PIX, Y0],
+        "transform": t,
+        "bounds": [c, f + gh * e, c + gw * a, f],
         "width": gw,
         "height": gh,
         "num_species": n_layers,
@@ -237,10 +245,14 @@ def _write_array_meta(
             },
             fh,
         )
+    # array-level transform stays in the GDAL-style order documented in
+    # the module docstring — DERIVED from the root affine so stores on a
+    # non-canonical grid (warped cubes) stay self-consistent
+    ra, _, rc, _, re_, rf = root_attrs["transform"]
     array_attrs = {
         "crs": CRS,
         "units": UNITS,
-        "transform": [X0, PIX, 0.0, Y0, 0.0, -PIX],
+        "transform": [rc, ra, 0.0, rf, 0.0, re_],
         "species_codes": root_attrs["species_codes"],
         "_ARRAY_DIMENSIONS": ["species", "y", "x"],
     }
@@ -273,6 +285,7 @@ def write_zarr_store(
     level: int = 6,
     zarr_format: int = ZARR_FORMAT,
     codec: str | None = None,
+    transform: list | None = None,
 ) -> int:
     """Write engine tile rows as a genuine Zarr group ``path`` holding one
     float32 array ``array`` of shape (n_layers, gh, gw), chunked
@@ -294,7 +307,7 @@ def write_zarr_store(
     n_layers, tw, th, gw, gh, meta = _grid_info(tiles)
     _write_array_meta(
         path, array, [n_layers, gh, gw], [1, th, tw], level, zarr_format,
-        _root_attrs(n_layers, gw, gh), codec,
+        _root_attrs(n_layers, gw, gh, transform=transform), codec,
     )
     return _write_chunks(
         meta, os.path.join(path, array), level, zarr_format, codec=codec

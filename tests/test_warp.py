@@ -177,3 +177,49 @@ class TestWarpBilinear:
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
         m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", plan)
         assert m and "bytes" not in m.group(1)
+
+
+class TestWarpStore:
+    def test_store_warp_writes_composed_georeferencing(self, spark, tmp_path):
+        """warp_store's destination carries the SCALED affine, not a
+        copy of the source's — and a chained warp composes again."""
+        from gridfia_spark.constants import PIX, X0, Y0
+        from gridfia_spark.sources import zarrstore
+
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        src = str(tmp_path / "src.zarr")
+        zarrstore.write_zarr_store(tiles, src)
+        dst = str(tmp_path / "dst.zarr")
+        n = warp.warp_store(spark, src, dst, (2, 1, 0), (2, 1, 0))
+        spec = spec_for_sf_dir(SF_DIR)
+        assert n == len(SPECIES)  # 2x downscale of a 2x2 tile grid
+        m = zarrstore.zarr_meta(dst)
+        # zarr_meta merges array-level attrs (GDAL order) over root
+        # (Affine order) — normalize before asserting
+        t = zarrstore._affine_order(m.attrs["transform"])
+        assert t[0] == PIX * 2 and t[4] == -PIX * 2  # doubled pixel
+        assert t[2] == X0 and t[5] == Y0
+        # pixels equal the direct tile-table warp
+        back = zarrstore.read_zarr_store(spark, dst)
+        direct = warp.warp_tiles(tiles, spec, (2, 1, 0), (2, 1, 0))
+        want = {r["image_id"]: r for r in direct.collect()}
+        for r in back.collect():
+            a = codecs.decode(r["bytes"], r["w"], r["h"], r["fmt"])
+            o = want[r["image_id"]]
+            b = codecs.decode(o["bytes"], o["w"], o["h"], o["fmt"])
+            np.testing.assert_array_equal(a, b)
+        # chained: warp the warped store again -> 4x pixel size
+        dst2 = str(tmp_path / "dst2.zarr")
+        warp.warp_store(spark, dst, dst2, (2, 1, 1), (2, 1, 0))
+        t2 = zarrstore._affine_order(zarrstore.zarr_meta(dst2).attrs["transform"])
+        assert t2[0] == PIX * 4
+        assert t2[2] == X0 + PIX * 2  # off=1 target px = 1 src px of dst
+
+    def test_affine_composition_math(self):
+        t = warp.warp_affine([30.0, 0, -2e6, 0, -30.0, -9e5], (3, 2, 1), (2, 3, 1))
+        assert t[0] == 45.0 and t[4] == -20.0
+        assert t[2] == -2e6 + 15.0 and t[5] == -9e5 - 10.0
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="axis-aligned"):
+            warp.warp_affine([30, 1, 0, 0, -30, 0], (1, 1, 0), (1, 1, 0))
