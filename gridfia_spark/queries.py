@@ -63,6 +63,7 @@ DRIVER_PRIORITY: list[str] = [
     "warp_bilinear",
     "histogram_match",
     "focal_store_max",
+    "point_timeseries",
     # oldest-evidence queries — absent from the r04 sample (VERDICT r4 §3)
     "knn_points",
     "caption_check",
@@ -89,7 +90,6 @@ DRIVER_PRIORITY: list[str] = [
     "segment_revenue",
     "user_sessions",
     "token_stats",
-    "minhash_lsh_pairs",
     "cosine_topk",
     "ann_recall",
     "ivf_trained_contract",
@@ -102,7 +102,8 @@ DRIVER_PRIORITY: list[str] = [
     # sample; percentile_stretch keeps zonal_percentiles + render_layers
     # as its histpct-family evidence, clean_corpus / doc_fingerprint /
     # dedup_exact / ngram_jaccard_pairs / simhash_portable / lang_id
-    # keep the text family's other head entries) ---
+    # / minhash_lsh_pairs keep the text family's other head entries) ---
+    "minhash_lsh_pairs",
     "lang_id",
     "simhash_portable",
     "ngram_jaccard_pairs",

@@ -1242,6 +1242,90 @@ def histogram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_point_ts(sf_dir: str) -> str:
+    from .datagen import vectors
+
+    spec = spec_for_sf_dir(sf_dir)
+    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1][2:]
+    n = vectors.N_POINTS.get(sf, 200)
+    c0, c1, c2 = _TREND_CAPS
+    return f"""WITH {osql.val_cte(spec)},
+allpx AS (
+  SELECT s, gx, gy, v FROM val
+  UNION ALL
+  SELECT 0 AS s, gx, gy, SUM(v) AS v FROM val GROUP BY gx, gy
+),
+{osql.points_cte(spec, n)},
+ppx AS (
+  SELECT point_id,
+         CAST(FLOOR((x - {osql.X0_SQL}) / 30.0) AS BIGINT) AS gx,
+         CAST(FLOOR(({osql.Y0_SQL} - y) / 30.0) AS BIGINT) AS gy
+  FROM points
+),
+e(epoch, cap) AS (SELECT * FROM (VALUES (0,{c0}),(1,{c1}),(2,{c2})) v(epoch, cap))
+SELECT pp.point_id AS point_id, a.s::INT AS s, e.epoch::INT AS epoch,
+       CAST(LEAST(a.v, e.cap) AS DOUBLE) AS v
+FROM ppx pp
+JOIN allpx a ON a.gx = pp.gx AND a.gy = pp.gy
+JOIN e ON TRUE"""
+
+
+@q("point_timeseries", _o_point_ts)
+def point_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring-site drill-through (zarrstore.extract_timeseries): the
+    per-point value time series across THREE store epochs (the same
+    rising-cap epochs as epoch_trend, epoch 2 in the v3 dialect). The
+    plan inverts the scan: ~16-byte point rows shuffle once to their
+    chunk key, each task ghost-reads its chunk across every epoch —
+    raster bytes never move, cost scales with |points| x N, not the
+    cube."""
+    import os as _os
+    import shutil as _sh
+
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .datagen.tiles import TILE_SCHEMA
+    from .sources import zarrstore
+
+    tiles = tgen.ensure_tiles(spark, sf_dir)
+    paths = []
+    for e, cap in enumerate(_TREND_CAPS):
+        store = _cache(sf_dir, f"ptse{e}") + ".zarr"
+        marker = _os.path.join(store, "_DONE")
+        if not _os.path.exists(marker):
+            _sh.rmtree(store, ignore_errors=True)
+
+            def clipper(batches: _It[_pd.DataFrame], cap=float(cap)):
+                for pdf in batches:
+                    rows = []
+                    for r in pdf.itertuples(index=False):
+                        a = codecs.decode(r.bytes, r.w, r.h, r.fmt)
+                        rows.append(
+                            (r.image_id,
+                             codecs.encode(
+                                 _np.minimum(a, _np.float32(cap)), "rawz"),
+                             r.w, r.h, "rawz", r.caption, r.phash)
+                        )
+                    yield _pd.DataFrame(
+                        rows,
+                        columns=["image_id", "bytes", "w", "h", "fmt",
+                                 "caption", "phash"],
+                    )
+
+            zarrstore.write_zarr_store(
+                tiles.mapInPandas(clipper, TILE_SCHEMA), store,
+                zarr_format=3 if e == 2 else 2,
+            )
+            open(marker, "w").close()
+        paths.append(store)
+    pts = tgen.points_df(spark, sf_dir)
+    out = zarrstore.extract_timeseries(spark, paths, pts)
+    return out
+
+
 # product/statistics queries (render, threshold kernels, bootstrap CI) —
 # imported last so their @q registrations land in the shared registry
 from . import queries_products  # noqa: E402,F401

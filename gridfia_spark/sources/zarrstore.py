@@ -1285,6 +1285,90 @@ def trend_stores(
     return work.mapInPandas(tr, TREND_SCHEMA)
 
 
+TS_SCHEMA = "point_id long, s int, epoch int, v double"
+
+
+def extract_timeseries(
+    spark: SparkSession,
+    paths: list[str],
+    points: DataFrame,
+    species: list[int] | None = None,
+) -> DataFrame:
+    """Per-point value TIME SERIES across N aligned store epochs — the
+    monitoring-site drill-through (plot networks, calibration targets,
+    eddy-flux towers): for each point and layer, the pixel value at
+    every epoch, long-format ``(point_id, s, epoch, v)``. The plan
+    inverts the access pattern of a full scan: points map to their
+    chunk key via the store affine (column expressions), ONE tiny
+    shuffle groups the ~16-byte point rows by chunk, and each task
+    ghost-reads its chunk across all epochs through the cached shard
+    index — raster bytes never move, and the cost scales with
+    |points| x N, not with the cube. Epochs may mix dialects and
+    layouts (same alignment contract as ``trend_stores``)."""
+    if not paths:
+        raise ValueError("extract_timeseries needs at least 1 epoch")
+    m0, a0 = _aligned_meta(
+        "extract_timeseries", paths[0], None, None, allow_sharded=True
+    )
+    metas = [(m0, a0)]
+    for p in paths[1:]:
+        metas.append(
+            _aligned_meta("extract_timeseries", p, None, m0,
+                          allow_sharded=True)
+        )
+    n_layers, gh, gw = (int(x) for x in m0.shape)
+    _, th, tw = (int(c) for c in m0.chunks)
+    t = _affine_order(m0.attrs.get("transform")) or [
+        PIX, 0.0, X0, 0.0, -PIX, Y0
+    ]
+    a, _, c, _, e, f = (float(v) for v in t)
+    layers = (
+        sorted({int(s) for s in species}) if species is not None
+        else list(range(n_layers))
+    )
+    readers = [_ChunkReader(p, arr, m) for p, (m, arr) in zip(paths, metas)]
+    n_epochs = len(paths)
+    pts = (
+        points.select("point_id", "x", "y")
+        .withColumn("gx", F.floor((F.col("x") - F.lit(c)) / F.lit(a)).cast("long"))
+        .withColumn("gy", F.floor((F.col("y") - F.lit(f)) / F.lit(e)).cast("long"))
+        .filter(
+            (F.col("gx") >= 0) & (F.col("gx") < gw)
+            & (F.col("gy") >= 0) & (F.col("gy") < gh)
+        )
+        .withColumn("cy", (F.col("gy") / th).cast("int"))
+        .withColumn("cx", (F.col("gx") / tw).cast("int"))
+    )
+
+    def ex(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        cy, cx = (int(k) for k in key)
+        ids = pdf["point_id"].to_numpy()
+        ly = (pdf["gy"].to_numpy() % th).astype(np.int64)
+        lx = (pdf["gx"].to_numpy() % tw).astype(np.int64)
+        out_id, out_s, out_e, out_v = [], [], [], []
+        for s in layers:
+            for ep in range(n_epochs):
+                arr = readers[ep].load(s, cy, cx, th, tw)
+                vals = (
+                    arr[ly, lx] if arr is not None
+                    else np.zeros(len(ids), dtype=np.float32)
+                )
+                out_id.append(ids)
+                out_s.append(np.full(len(ids), s, dtype=np.int32))
+                out_e.append(np.full(len(ids), ep, dtype=np.int32))
+                out_v.append(vals.astype(np.float64))
+        return pd.DataFrame(
+            {
+                "point_id": np.concatenate(out_id),
+                "s": np.concatenate(out_s),
+                "epoch": np.concatenate(out_e),
+                "v": np.concatenate(out_v),
+            }
+        )
+
+    return pts.groupBy("cy", "cx").applyInPandas(ex, TS_SCHEMA)
+
+
 def validate_store(path: str, array: str | None = None) -> dict:
     """Validate and summarize an on-disk store, either dialect — the
     engine form of the reference's ``validate_zarr_store``

@@ -816,3 +816,65 @@ class TestTrendStores:
         plan = (zarrstore.trend_stores(spark, paths)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestExtractTimeseries:
+    def test_matches_cube_values_across_epochs(self, spark, tmp_path):
+        """Every (point, layer, epoch) value equals the cube pixel —
+        epoch 1 sharded to prove mixed layouts."""
+        from gridfia_spark.constants import SPECIES, PIX, X0, Y0, spec_for_sf_dir
+
+        spec = spec_for_sf_dir(SF_DIR)
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        a = str(tmp_path / "a.zarr")
+        b = str(tmp_path / "b.zarr")
+        zarrstore.write_zarr_store(tiles, a)
+        zarrstore.write_sharded_store(tiles, b, shard_tiles=(2, 2))
+        pts = tgen.points_df(spark, SF_DIR)
+        rows = zarrstore.extract_timeseries(spark, [a, b], pts).collect()
+        cube = pxgen.full_cube(spec)
+        coords = {
+            r["point_id"]: (
+                int((r["x"] - X0) // PIX), int((Y0 - r["y"]) // PIX)
+            )
+            for r in pts.collect()
+        }
+        n_in = sum(
+            1 for gx, gy in coords.values()
+            if 0 <= gx < spec.gw and 0 <= gy < spec.gh
+        )
+        assert len(rows) == n_in * len(SPECIES) * 2
+        for r in rows:
+            gx, gy = coords[r.point_id]
+            assert r.v == float(cube[r.s, gy, gx]), (r, gx, gy)
+
+    def test_out_of_grid_points_dropped(self, spark, tmp_path):
+        from gridfia_spark.constants import SPECIES, X0, Y0
+
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        a = str(tmp_path / "a.zarr")
+        zarrstore.write_zarr_store(tiles, a)
+        pts = spark.createDataFrame(
+            [(1, X0 + 15.0, Y0 - 15.0), (2, X0 - 999.0, Y0 + 999.0)],
+            "point_id long, x double, y double",
+        )
+        rows = zarrstore.extract_timeseries(spark, [a], pts).collect()
+        assert {r.point_id for r in rows} == {1}
+        assert len(rows) == len(SPECIES)
+
+    def test_plan_shuffles_points_not_bytes(self, spark, tmp_path):
+        import re as _re
+
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        a = str(tmp_path / "a.zarr")
+        zarrstore.write_zarr_store(tiles, a)
+        pts = tgen.points_df(spark, SF_DIR)
+        plan = (
+            zarrstore.extract_timeseries(spark, [a], pts)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+        m = _re.search(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert m and "bytes" not in m.group(1)
