@@ -56,8 +56,10 @@ def manifest_df(spark: SparkSession, spec: GridSpec, fmt: str = "rawz") -> DataF
                 if fmt == "mixed":
                     f = "qnt8" if (tx + ty + s) % 4 == 3 else "rawz"
                 rows.append((image_id(code, tx, ty), s, tx, ty, f))
-    return spark.createDataFrame(
-        rows, "image_id string, s int, tx int, ty int, fmt string"
+    from ..localdf import local_df
+
+    return local_df(
+        spark, rows, "image_id string, s int, tx int, ty int, fmt string"
     )
 
 
@@ -126,11 +128,14 @@ def ensure_tiles(spark: SparkSession, sf_dir: str, fmt: str = "rawz") -> DataFra
 def polygons_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon dimension table (FIXTURES.md §2): tiny, broadcast side."""
     spec = spec_for_sf_dir(sf_dir)
+    from ..localdf import local_df
+
     rows = []
     for p in vectors.all_polygons(spec):
         xmin, ymin, xmax, ymax = p.bounds
-        rows.append((p.poly_id, p.name, bytearray(p.wkb), xmin, ymin, xmax, ymax, p.is_rect))
-    return spark.createDataFrame(
+        rows.append((p.poly_id, p.name, bytes(p.wkb), xmin, ymin, xmax, ymax, p.is_rect))
+    return local_df(
+        spark,
         rows,
         "poly_id string, name string, geom_wkb binary, "
         "xmin double, ymin double, xmax double, ymax double, is_rect boolean",

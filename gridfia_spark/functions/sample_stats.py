@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..localdf import local_df
 from pyspark.sql.window import Window
 
 # ------------------------------------------------------------ numpy kernels
@@ -256,7 +258,8 @@ def cliffs_delta(
         st = _rank_sums(df, group_col, value_col, groups)
         n_pairs = st["n1"] * st["n2"]
         delta = (2.0 * st["u1"] - n_pairs) / n_pairs
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [(groups[0], groups[1], float(delta), int(n_pairs))],
             "group_a string, group_b string, delta double, n_pairs long",
         )
@@ -271,7 +274,8 @@ def cliffs_delta(
         F.count("*").alias("n_pairs"),
     ).first()
     delta = (agg.gt - agg.lt) / agg.n_pairs
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(groups[0], groups[1], float(delta), int(agg.n_pairs))],
         "group_a string, group_b string, delta double, n_pairs long",
     )
@@ -318,7 +322,8 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         cc = 0.5 if u1 > mu else (-0.5 if u1 < mu else 0.0)
         z = (u1 - mu - cc) / float(np.sqrt(var))
     spark = df.sparkSession
-    out = spark.createDataFrame(
+    out = local_df(
+        spark,
         [(groups[0], groups[1], n1, n2, float(u1), float(u2), float(z))],
         "group_a string, group_b string, n1 long, n2 long, u1 double, "
         "u2 double, z double",
@@ -351,7 +356,8 @@ def cohens_d(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     sp2 = ((ga.n - 1) * ga.var + (gb.n - 1) * gb.var) / (ga.n + gb.n - 2)
     d = (ga.mean - gb.mean) / float(np.sqrt(sp2)) if sp2 > 0 else 0.0
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 groups[0],
@@ -420,7 +426,8 @@ def permutation_test(
     ).first()
     spark = df.sparkSession
     p = (1 + res.n_extreme) / (n_perm + 1)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(float(obs), n_perm, int(res.n_extreme), float(p))],
         "obs_diff double, n_perm long, n_extreme long, p_value double",
     )
@@ -477,7 +484,8 @@ def bootstrap_ci(
         F.expr(f"percentile(m, array({lo!r}, {hi!r}))").alias("p")
     ).first()
     obs = base.agg(F.avg("v")).first()[0]
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(float(obs), float(ci.p[0]), float(ci.p[1]), n_boot)],
         "obs_mean double, ci_lo double, ci_hi double, n_boot long",
     )

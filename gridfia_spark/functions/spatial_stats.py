@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 
 def _neighbors(units: DataFrame) -> DataFrame:
     """Queen-adjacent pairs (i, j) with per-unit degree k_i attached."""
+    from ..localdf import local_df
+
     offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
-    off_df = units.sparkSession.createDataFrame(offs, "dx int, dy int")
+    off_df = local_df(units.sparkSession, offs, "dx int, dy int")
     probes = units.select("tx", "ty").crossJoin(F.broadcast(off_df)).select(
         "tx", "ty",
         (F.col("tx") + F.col("dx")).alias("ntx"),

@@ -13,6 +13,7 @@ from .constants import spec_for_sf_dir
 from .datagen import oracle_sql as osql
 from .datagen import tiles as tgen
 from .operators import decode, metrics, similarity, text
+from .localdf import local_df
 from .queries import q
 
 
@@ -895,7 +896,8 @@ def morans_i_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vsum").alias("value"),
     )
     r = spatial_stats.morans_i(units)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(round(r["morans_i"], 6), round(r["expected_i"], 6),
           round(r["variance_i"], 6), round(r["z_score"], 6))],
         "morans_i double, expected_i double, variance_i double, z_score double",
@@ -1093,7 +1095,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         noise = np.random.default_rng(int(r.vec_id)).standard_normal(v.size)
         q = v + 0.08 * float(np.linalg.norm(v)) * noise / float(np.linalg.norm(noise))
         probes.append((1_000_000 + int(r.vec_id), [float(x) for x in q]))
-    qdf = spark.createDataFrame(probes, "vec_id long, embedding array<double>")
+    qdf = local_df(spark, probes, "vec_id long, embedding array<double>")
     exact = similarity.cosine_topk(qdf, emb, k=1).select("q_id", "t_id").cache()
     n_q = exact.count()
     rows = []
@@ -1104,8 +1106,8 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits = exact.join(topk.select("q_id", "t_id"), ["q_id", "t_id"]).count()
         rows.append((method, int(hits / n_q >= 0.9), n_q))
     exact.unpersist()
-    return spark.createDataFrame(
-        rows, "method string, recall_ge_090 long, n_queries long"
+    return local_df(
+        spark, rows, "method string, recall_ge_090 long, n_queries long"
     )
 
 
@@ -1154,7 +1156,8 @@ def ivf_trained_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.ivf_cosine_topk(queries, df, k=5, nprobe=1, centroids=trained)
     )
     exact.unpersist()
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(n_q, int(r_tr >= 0.8), int(r_tr >= r_rand + 0.2))],
         "n_queries long, trained_ge_080 long, trained_beats_random_by_020 long",
     )

@@ -16,6 +16,7 @@ from .constants import SPECIES, X0, Y0, spec_for_sf_dir
 from .datagen import oracle_sql as osql
 from .datagen import tiles as tgen
 from .operators import decode, metrics, render, zonal
+from .localdf import local_df
 from .queries import _join_res, q
 from .queries_ext import _t
 
@@ -161,7 +162,8 @@ def zonal_many_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
          xmin, ymin, xmax, ymax, True)
         for pid, xmin, ymin, xmax, ymax in _subcounty_bounds(sf_dir)
     ]
-    polys = spark.createDataFrame(
+    polys = local_df(
+        spark,
         rows,
         "poly_id string, name string, geom_wkb binary, "
         "xmin double, ymin double, xmax double, ymax double, is_rect boolean",
@@ -261,7 +263,8 @@ def zonal_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
          xmin, ymin, xmax, ymax, True)
         for pid, xmin, ymin, xmax, ymax in _skew_bounds(sf_dir)
     ]
-    polys = spark.createDataFrame(
+    polys = local_df(
+        spark,
         rows,
         "poly_id string, name string, geom_wkb binary, "
         "xmin double, ymin double, xmax double, ymax double, is_rect boolean",
@@ -648,7 +651,7 @@ def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import rangejoin
 
     ev = _t(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    tiers = local_df(spark, _TIERS, "tier string, lo double, hi double")
     j = rangejoin.range_join(ev, tiers, val="value", bucket_width=50.0)
     cents = F.round(F.col("value") * 100).cast("long")
     return j.groupBy("tier").agg(

@@ -117,8 +117,10 @@ def read_geotiff_strips(spark: SparkSession, path: str) -> DataFrame:
         (i, int(off), int(cnt), i * rps, min(rps, h - i * rps))
         for i, (off, cnt) in enumerate(zip(lay["offsets"], lay["counts"]))
     ]
-    df = spark.createDataFrame(
-        specs, "strip int, off long, cnt long, row0 int, nrows int"
+    from ..localdf import local_df
+
+    df = local_df(
+        spark, specs, "strip int, off long, cnt long, row0 int, nrows int"
     )
     par = min(len(specs), spark.sparkContext.defaultParallelism * 2) or 1
     df = df.repartition(par)
