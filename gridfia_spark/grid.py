@@ -135,6 +135,55 @@ def k_ring(cell: np.ndarray, k: int) -> np.ndarray:
     return encode_cell(nx, ny, r)
 
 
+# ------------------------------------------------- JVM column expressions
+#
+# The same Morton encode as Spark Column expressions (shift/and/or chains,
+# all whole-stage-codegen): callers that only need a cell id per row can
+# stay entirely JVM-side instead of paying an ArrowEvalPython round-trip —
+# and the optimizer's null-filter pushdown around Python UDFs (guide §4.4)
+# cannot duplicate what is not a UDF. Bit-identical to the numpy versions:
+# the float math is the same IEEE754 (x - X0)/size followed by floor.
+
+
+def _part1by1_col(c):
+    """Column version of _part1by1: spread low 29 bits to even positions."""
+    from pyspark.sql import functions as F
+
+    c = c.bitwiseAND(F.lit(0x1FFFFFFF))
+    c = (c.bitwiseOR(F.shiftleft(c, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x3333333333333333))
+    c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x5555555555555555))
+    return c
+
+
+def encode_cell_col(ix, iy, res: int):
+    """(ix, iy) index Columns -> int64 cell id Column at ``res``."""
+    from pyspark.sql import functions as F
+
+    morton = _part1by1_col(ix).bitwiseOR(F.shiftleft(_part1by1_col(iy), 1))
+    return F.lit(int(res) << 58).bitwiseOR(morton)
+
+
+def cell_index_cols(x, y, res: int):
+    """(x, y) coordinate Columns -> clipped (ix, iy) index Columns."""
+    from pyspark.sql import functions as F
+
+    size = cell_size(res)
+    n = (1 << res) - 1
+    ix = F.floor((x - F.lit(WORLD_X0)) / F.lit(size))
+    iy = F.floor((F.lit(WORLD_Y0) - y) / F.lit(size))
+    clip = lambda c: F.greatest(F.lit(0), F.least(c, F.lit(n)))  # noqa: E731
+    return clip(ix), clip(iy)
+
+
+def cell_of_xy_col(x, y, res: int):
+    """Column version of cell_of_xy — bit-identical cell ids, no UDF."""
+    ix, iy = cell_index_cols(x, y, res)
+    return encode_cell_col(ix, iy, res)
+
+
 def bbox_cells_batch(
     xmin: np.ndarray,
     ymin: np.ndarray,

@@ -19,7 +19,8 @@ coordinates (dist_sq), ties broken by neighbor id for determinism.
 
 from __future__ import annotations
 
-import pandas as pd
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -28,20 +29,33 @@ from .. import grid
 
 
 def _with_cell(df: DataFrame, res: int, col: str = "cell_id") -> DataFrame:
-    @F.pandas_udf("long")
-    def cell_of(x: pd.Series, y: pd.Series) -> pd.Series:
-        return pd.Series(grid.cell_of_xy(x.to_numpy(), y.to_numpy(), res))
+    """Cell id as a pure JVM column expression (grid.cell_of_xy_col) —
+    bit-identical to the numpy encode, whole-stage-codegen, and immune to
+    the optimizer's UDF-duplicating null-filter pushdown (guide §4.4)."""
+    return df.withColumn(col, grid.cell_of_xy_col(F.col("x"), F.col("y"), res))
 
-    return df.withColumn(col, cell_of("x", "y"))
 
-
-def _ring_explode(df: DataFrame, res: int, radius: int) -> DataFrame:
-    @F.pandas_udf("array<long>")
-    def ring(cell: pd.Series) -> pd.Series:
-        rings = grid.k_ring(cell.to_numpy(), radius)
-        return pd.Series([r.tolist() for r in rings])
-
-    return df.withColumn("probe_cell", F.explode(ring("cell_id")))
+def _ring_explode_xy(df: DataFrame, res: int, radius: int) -> DataFrame:
+    """Chebyshev-``radius`` ring cells from (x, y) entirely JVM-side: two
+    offset explodes + the Morton encode expression. The previous pandas-UDF
+    ring paid an ArrowEvalPython round-trip (a JVM→Python→JVM transpose of
+    every candidate row) per radius iteration; this form leaves the whole
+    candidate side inside WholeStageCodegen. Clipping at the world-grid
+    border matches numpy k_ring (duplicates possible only there)."""
+    n = (1 << res) - 1
+    seq = F.sequence(F.lit(-radius), F.lit(radius))
+    ix, iy = grid.cell_index_cols(F.col("x"), F.col("y"), res)
+    clip = lambda c: F.greatest(F.lit(0), F.least(c, F.lit(n)))  # noqa: E731
+    d = (
+        df.withColumn("_ix", ix)
+        .withColumn("_iy", iy)
+        .withColumn("_dx", F.explode(seq))
+        .withColumn("_dy", F.explode(seq))
+    )
+    probe = grid.encode_cell_col(
+        clip(d["_ix"] + d["_dx"]), clip(d["_iy"] + d["_dy"]), res
+    )
+    return d.withColumn("probe_cell", probe).drop("_ix", "_iy", "_dx", "_dy")
 
 
 def knn_join(
@@ -52,14 +66,20 @@ def knn_join(
     init_radius: int = 1,
     max_radius: int = 64,
     exclude_self: bool = True,
+    target_stats: tuple | None = None,
 ) -> DataFrame:
     """Exact k-nearest-neighbors of each query point among targets.
 
     Inputs need columns (point_id, x, y). Output:
     (point_id, rank, neighbor_id, dist_sq), rank 1..k ordered by
     (dist_sq, neighbor_id).
+
+    ``target_stats``: optional ``(n_targets, xmin, xmax, ymin, ymax)`` when
+    the caller already knows them (table spec, manifest) — skips the one
+    stats job otherwise used to size the first ring radius. The stats only
+    steer the radius ESTIMATE; exactness never depends on them.
     """
-    q = _with_cell(queries.select("point_id", "x", "y"), res)
+    q = queries.select("point_id", "x", "y")
     t = _with_cell(targets.select("point_id", "x", "y"), res).select(
         F.col("point_id").alias("neighbor_id"),
         F.col("x").alias("nx"),
@@ -68,10 +88,39 @@ def knn_join(
     )
 
     cs = grid.cell_size(res)
-    n_queries = q.count()
-    radius = init_radius
+    # Size the FIRST ring radius from target density: for k neighbors at
+    # uniform density lam, d_k ~ sqrt(k/(pi*lam)), and the completeness
+    # proof needs d_k < R*cell_size — starting at R=1 in a sparse grid
+    # re-runs the whole join+window for R=1,2,4,... and every failed
+    # iteration is a full re-computation. A 2x-margin density estimate
+    # makes the first iteration the accepted one in practice; the
+    # radius-doubling proof loop below is unchanged, so results stay exact
+    # even when the estimate is off (clustered or adversarial layouts).
+    if target_stats is not None:
+        n_t, x0, x1, y0, y1 = target_stats
+        n_queries = int(n_t) if queries is targets else q.count()
+    else:
+        tstats = t.agg(
+            F.count("*").alias("n"),
+            F.min("nx").alias("x0"),
+            F.max("nx").alias("x1"),
+            F.min("ny").alias("y0"),
+            F.max("ny").alias("y1"),
+        ).first()
+        n_t, x0, x1, y0, y1 = (
+            int(tstats.n), tstats.x0, tstats.x1, tstats.y0, tstats.y1
+        )
+        n_queries = n_t if queries is targets else q.count()
+    if n_t and x0 is not None:
+        area = max(x1 - x0, cs) * max(y1 - y0, cs)
+        lam = n_t / area  # targets per m^2
+        d_k = math.sqrt((k + 1) / (math.pi * lam))
+        est = max(init_radius, math.ceil(2.0 * d_k / cs))
+    else:
+        est = init_radius
+    radius = min(est, max_radius)
     while radius <= max_radius:
-        cand = _ring_explode(q, res, radius).join(t, "probe_cell")
+        cand = _ring_explode_xy(q, res, radius).join(t, "probe_cell")
         if exclude_self:
             cand = cand.filter(F.col("point_id") != F.col("neighbor_id"))
         dx = F.col("x") - F.col("nx")
@@ -100,5 +149,7 @@ def knn_join(
         if chk.n_q == n_queries and chk.bad == 0:
             return topk
         topk.unpersist()
-        radius *= 2
+        if radius >= max_radius:
+            break
+        radius = min(radius * 2, max_radius)
     raise RuntimeError(f"knn_join did not converge within radius {max_radius}")

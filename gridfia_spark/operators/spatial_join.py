@@ -70,6 +70,8 @@ def polygon_cells_df(
     in memory (boundaries.py:30-49). For a LARGE polygon side use
     ``polygon_cells_dist``: the identical kernel inside ``mapInPandas``.
     """
+    from ..localdf import local_df
+
     rows = []
     for r in polygons.select("poly_id", "geom_wkb").collect():
         rings = geom.wkb_to_polygon(bytes(r.geom_wkb))
@@ -77,7 +79,9 @@ def polygon_cells_df(
         rows.extend(
             (r.poly_id, int(c), bool(f)) for c, f in zip(cells.tolist(), full.tolist())
         )
-    return spark.createDataFrame(rows, "poly_id string, cell_id long, fully_inside boolean")
+    return local_df(
+        spark, rows, "poly_id string, cell_id long, fully_inside boolean"
+    )
 
 
 def polygon_cells_dist(polygons: DataFrame, res: int = grid.JOIN_RES) -> DataFrame:
@@ -112,11 +116,12 @@ def polygon_cells_dist(polygons: DataFrame, res: int = grid.JOIN_RES) -> DataFra
 
 
 def with_point_cells(points: DataFrame, res: int = grid.JOIN_RES) -> DataFrame:
-    @F.pandas_udf("long")
-    def cell_of(x: pd.Series, y: pd.Series) -> pd.Series:
-        return pd.Series(grid.cell_of_xy(x.to_numpy(), y.to_numpy(), res))
-
-    return points.withColumn("cell_id", cell_of("x", "y"))
+    """Cell id as a JVM column expression (grid.cell_of_xy_col): bit-identical
+    to the numpy encode, no ArrowEvalPython round-trip, no UDF duplication
+    from null-filter pushdown (guide §4.4)."""
+    return points.withColumn(
+        "cell_id", grid.cell_of_xy_col(F.col("x"), F.col("y"), res)
+    )
 
 
 def _pip_refine(cand: DataFrame, polygons: DataFrame) -> DataFrame:
@@ -161,17 +166,63 @@ def join_points_polygons(
     if distributed:
         cells = polygon_cells_dist(polygons, res)
         pts = with_point_cells(points, res)
-        cand = pts.join(cells, "cell_id")
+        # large-polygon-side plan: never broadcast the covering (guide §3.1)
+        cand = pts.join(cells.hint("shuffle_hash"), "cell_id")
         sure = cand.filter(F.col("fully_inside")).drop("fully_inside", "cell_id")
         maybe = cand.filter(~F.col("fully_inside")).drop("fully_inside", "cell_id")
         return sure.unionByName(_pip_refine(maybe, polygons))
-    cells = polygon_cells_df(spark, polygons, res)
-    pts = with_point_cells(points, res)
-    cand = pts.join(F.broadcast(cells), "cell_id")
-    sure = cand.filter(F.col("fully_inside")).drop("fully_inside", "cell_id")
-    maybe = cand.filter(~F.col("fully_inside")).drop("fully_inside", "cell_id")
-    refined = _pip_refine(maybe, polygons)
-    return sure.unionByName(refined)
+    # Small polygon side: ONE map-only pass over a broadcast covering index
+    # (same kernel as broadcast_join.assign_tiles_fast). The previous
+    # cells-join + sure/maybe-union plan evaluated the point scan and its
+    # cell UDF once per union branch (and the optimizer duplicated the UDF
+    # around the pushed null-filter — guide §4.4: 4 ArrowEvalPython nodes),
+    # plus three broadcast builds and a refine MapInPandas. This form is a
+    # single ArrowEvalPython-free mapInPandas: cell probe, fully-inside
+    # fast path and ray-cast refinement all happen on numpy inside one
+    # batch pass; rows and schema are identical (tested equal).
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from .broadcast_join import PolygonIndex
+
+    index = PolygonIndex.build(polygons, res)
+    bc = spark.sparkContext.broadcast(index)
+    in_cols = [f.name for f in points.schema.fields]
+    out_schema = StructType(
+        points.schema.fields + [StructField("poly_id", StringType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = bc.value
+        c2p = idx.cell_to_poly
+        ids = np.asarray(idx.poly_ids, dtype=object)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = pdf["x"].to_numpy()
+            y = pdf["y"].to_numpy()
+            probe = pd.DataFrame(
+                {
+                    "row": np.arange(len(pdf), dtype=np.int64),
+                    "cell_id": grid.cell_of_xy(x, y, idx.res),
+                }
+            )
+            hits = probe.merge(c2p, on="cell_id", how="inner")
+            if hits.empty:
+                continue
+            keep = [hits.loc[hits["fully_inside"], ["row", "pidx"]]]
+            maybe = hits[~hits["fully_inside"]]
+            for pidx, g in maybe.groupby("pidx", sort=False):
+                rows = g["row"].to_numpy()
+                mask = geom.points_in_polygon(x[rows], y[rows], idx.rings[int(pidx)])
+                keep.append(pd.DataFrame({"row": rows[mask], "pidx": int(pidx)}))
+            out = pd.concat(keep, ignore_index=True)
+            if out.empty:
+                continue
+            res_pdf = pdf.iloc[out["row"].to_numpy()][in_cols].reset_index(drop=True)
+            res_pdf["poly_id"] = ids[out["pidx"].to_numpy(dtype=np.int64)]
+            yield res_pdf
+
+    return points.mapInPandas(run, out_schema)
 
 
 def join_tiles_polygons(
@@ -212,7 +263,13 @@ def join_tiles_polygons(
             tcells, pcells, on="cell_id", k=salt_k, threshold=salt_threshold
         )
     else:
-        j = tcells.join(pcells if distributed else F.broadcast(pcells), "cell_id")
+        # distributed path: the covering frame is O(polygons x cells) — pin
+        # shuffle_hash so a small local fixture's size estimate can never
+        # flip the scale plan to a broadcast (guide §3.1)
+        j = tcells.join(
+            pcells.hint("shuffle_hash") if distributed else F.broadcast(pcells),
+            "cell_id",
+        )
     agg = j.groupBy("image_id", "poly_id").agg(
         F.count("*").alias("n_hit"),
         F.min(F.col("fully_inside").cast("int")).alias("all_full"),

@@ -140,7 +140,14 @@ def zonal_stats(
         # ONE shuffle-hash join on image_id: the hash table is built from the
         # pair side, the byte-carrying tile rows stream through without ever
         # being sorted, and AQE (on in session.py) splits any skewed cell.
-        cand_w = cand.join(polygons.select("poly_id", "geom_wkb"), "poly_id")
+        # shuffle_hash hints on BOTH joins: the O(polygons) WKB frame and
+        # the O(pairs) candidate frame must never be broadcast (executor
+        # OOM at scale) even when local fixtures make their size estimates
+        # tiny — pick the strategy deliberately (guide §3.1)
+        cand_w = cand.join(
+            polygons.select("poly_id", "geom_wkb").hint("shuffle_hash"),
+            "poly_id",
+        )
         pairs = meta_sel.join(cand_w.hint("shuffle_hash"), "image_id")
     else:
         # driver-covering path: cand and the polygon dim are tiny — broadcast
