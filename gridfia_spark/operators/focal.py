@@ -232,16 +232,9 @@ def focal_sum3x3_store(
         else list(range(n_layers))
     )
     reader = _zs._ChunkReader(path, array, m)
-    items = [(s, cy, cx) for s in layers for cy in range(n_cy)
-             for cx in range(n_cx)]
-    # order-preserving slicing (not repartition) so sharded stores hit
-    # the per-task shard cache for the neighborhood loads
-    work = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            items, min(len(items), spark.sparkContext.defaultParallelism * 4)
-        ),
-        "s int, cy int, cx int",
-    )
+    # chunk grid straight off spark.range (zarrstore.chunk_grid_df): no
+    # driver-side work list; contiguous id slices keep shard-cache locality
+    work = _zs.chunk_grid_df(spark, layers, n_cy, n_cx)
     codes = {
         i: (c, stored_names[i] if i < len(stored_names) else c)
         for i, c in enumerate(stored_codes)

@@ -21,6 +21,7 @@ from .datagen import oracle_sql as osql
 from .datagen import pixels as pxgen
 from .datagen import tiles as tgen
 from .operators import decode, metrics
+from .localdf import local_df
 from .queries import _join_res, q
 from .sources import ingest, sinks
 
@@ -804,8 +805,8 @@ def netcdf_container(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(rz.sum(dtype=np.int64)),
         ),
     ]
-    return spark.createDataFrame(
-        rows, "part string, n bigint, lo double, hi double, chk double"
+    return local_df(
+        spark, rows, "part string, n bigint, lo double, hi double, chk double"
     )
 
 
@@ -893,8 +894,8 @@ def config_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append(
         ("simpson", int(c.n_px), round(float(c.vmax), 6), round(float(c.vmean), 6))
     )
-    return spark.createDataFrame(
-        rows, "output string, n_px bigint, max_v double, chk double"
+    return local_df(
+        spark, rows, "output string, n_px bigint, max_v double, chk double"
     )
 
 
@@ -974,10 +975,9 @@ def store_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     zarrstore.write_zarr_store(
         tiles.mapInPandas(clipper, TILE_SCHEMA), store_b, zarr_format=3
     )
-    out = zarrstore.diff_stores(spark, store_a, store_b)
-    n = out.count()
-    assert n == len(SPECIES) * spec.tiles_x * spec.tiles_y, n
-    return out
+    # no in-query count(): the driver's rows_match already counts, and the
+    # extra action doubled the most expensive job here (VERDICT r5 #4)
+    return zarrstore.diff_stores(spark, store_a, store_b)
 
 
 _TREND_CAPS = (15, 25, 35)  # epoch e = epoch-0 raster clipped at caps[e]
@@ -1064,10 +1064,8 @@ def epoch_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             zarr_format=3 if e == 2 else 2,
         )
         paths.append(store)
-    out = zarrstore.trend_stores(spark, paths)
-    n = out.count()
-    assert n == len(SPECIES) * spec.tiles_x * spec.tiles_y, n
-    return out
+    # no in-query count() — same rationale as store_diff (VERDICT r5 #4)
+    return zarrstore.trend_stores(spark, paths)
 
 
 _COMPOSE_CLIP = 12  # the epoch-1 patch is the raster clipped at this
@@ -1144,9 +1142,8 @@ def compose_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*cols)
         .mapInPandas(clipper, TILE_SCHEMA)
     )
+    # no in-query count() — same rationale as store_diff (VERDICT r5 #4)
     out = compositing.compose_latest([tiles, patch])
-    n = out.count()
-    assert n == len(SPECIES) * spec.tiles_x * spec.tiles_y, n
     return decode.decode_stats(out).select(
         "image_id", "s", "vmin", "vmax", "vsum", "nonzero", "npx"
     )

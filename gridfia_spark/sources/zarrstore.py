@@ -126,14 +126,19 @@ def _write_chunks(
     zarr_format: int,
     layer: int | None = None,
     codec: str | None = None,
-) -> int:
+    with_stats: bool = False,
+):
     """Distributed chunk write: every task serializes and writes its own
     chunk files (v2 ``s.ty.tx`` flat names; v3 ``c/s/ty/tx`` nested keys;
     gzip written with mtime=0 so bytes are deterministic). ``codec`` is
     ``zlib``/``gzip``/``blosc`` (default per dialect); ``layer`` overrides
-    the layer index for single-layer appends. Returns the chunk count."""
+    the layer index for single-layer appends. Returns the chunk count —
+    or, with ``with_stats=True``, the one-row grid-stats Row (count +
+    s/tx/ty maxima + w/h extrema) aggregated in the SAME action, so a
+    store write needs no separate metadata-scan job."""
     v3 = zarr_format == 3
     codec = codec or _default_codec(zarr_format)
+    os.makedirs(adir, exist_ok=True)
 
     def wchunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .. import blosc as _blosc
@@ -158,14 +163,26 @@ def _write_chunks(
                     name = os.path.join(adir, f"{s}.{int(r.ty)}.{int(r.tx)}")
                 with open(name, "wb") as fh:
                     fh.write(blob)
-                out.append((name, len(blob)))
+                out.append((int(s), int(r.tx), int(r.ty), int(r.w), int(r.h)))
             if out:
-                yield pd.DataFrame(out, columns=["chunk", "nbytes"])
+                yield pd.DataFrame(
+                    out, columns=["s", "tx", "ty", "w", "h"]
+                )
 
     manifest = meta.select("s", "tx", "ty", "bytes", "w", "h", "fmt").mapInPandas(
-        wchunks, "chunk string, nbytes long"
+        wchunks, "s int, tx int, ty int, w int, h int"
     )
-    return manifest.count()
+    stats = manifest.agg(
+        F.count("*").alias("n"),
+        F.max("s").alias("smax"),
+        F.max("tx").alias("txmax"),
+        F.max("ty").alias("tymax"),
+        F.min("w").alias("w"),
+        F.max("w").alias("wmax"),
+        F.min("h").alias("h"),
+        F.max("h").alias("hmax"),
+    ).first()
+    return stats if with_stats else int(stats.n)
 
 
 def _write_array_meta(
@@ -304,6 +321,11 @@ def write_zarr_store(
         raise ValueError(f"unsupported zarr_format {zarr_format} (2 or 3)")
     if codec not in (None, "zlib", "gzip", "blosc"):
         raise ValueError(f"unsupported codec {codec!r} (zlib/gzip/blosc)")
+    # Validation (uniform dims, known species) must precede any chunk file
+    # landing on disk — the error contract pinned by
+    # test_non_uniform_tiles_rejected — so the grid-info scan stays a
+    # separate (cheap, bytes-pruned) job; the chunk write then aggregates
+    # its count in the same action instead of a second pass.
     n_layers, tw, th, gw, gh, meta = _grid_info(tiles)
     _write_array_meta(
         path, array, [n_layers, gh, gw], [1, th, tw], level, zarr_format,
@@ -726,9 +748,11 @@ def read_zarr_store(
     # is pure scheduler overhead. A NARROW coalesce (no shuffle, plan stays
     # map-only) packs many chunks per task; 4x parallelism keeps AQE-free
     # balance even with skewed chunk sizes.
+    # coalesce() never INCREASES partition count, so no need to probe the
+    # current count first (the .rdd round-trip built a full RDD conversion
+    # plan just to ask); a no-op coalesce costs nothing
     target = spark.sparkContext.defaultParallelism * 4
-    if files.rdd.getNumPartitions() > target:
-        files = files.coalesce(target)
+    files = files.coalesce(target)
     nested = sep == "/"
     strip_c = enc_name == "default" and not nested
 
@@ -887,8 +911,10 @@ def read_shard_window(
                     items.append((f, s, sy, sx))
     if not items:
         return spark.createDataFrame([], TILE_SCHEMA)
-    work = spark.createDataFrame(
-        items, "path string, s int, sy int, sx int"
+    from ..localdf import local_df
+
+    work = local_df(
+        spark, items, "path string, s int, sy int, sx int"
     ).repartition(min(len(items), spark.sparkContext.defaultParallelism * 2))
     n_inner = ks_y * ks_x
     idx_nb = _sh.index_nbytes(n_inner, index_codecs)
@@ -1076,6 +1102,27 @@ class _ChunkReader:
         return np.frombuffer(raw, dtype="<f4").reshape(th, tw)
 
 
+def chunk_grid_df(
+    spark: SparkSession, layers: list[int], n_cy: int, n_cx: int
+) -> DataFrame:
+    """Distributed (s, cy, cx) chunk-grid work list via ``spark.range`` +
+    column arithmetic — nothing is materialized on the driver (a Python
+    list of every chunk tuple is ~25 M objects / GBs of driver memory at
+    100 TB with (1,1000,1000) chunks). ``spark.range(n, numPartitions=p)``
+    hands each task a CONTIGUOUS id slice, exactly like the old
+    order-preserving ``parallelize`` slicing, so consecutive chunks stay
+    in one task and sharded reads keep hitting the per-task shard cache."""
+    per_layer = n_cy * n_cx
+    n = len(layers) * per_layer
+    parts = max(1, min(n, spark.sparkContext.defaultParallelism * 4))
+    smap = F.array(*[F.lit(int(s)) for s in layers])
+    return spark.range(0, n, 1, parts).select(
+        F.element_at(smap, (F.col("id") / per_layer).cast("int") + 1).alias("s"),
+        ((F.col("id") % per_layer) / n_cx).cast("int").alias("cy"),
+        (F.col("id") % n_cx).cast("int").alias("cx"),
+    )
+
+
 DIFF_SCHEMA = (
     "image_id string, s int, n_diff bigint, max_abs double, "
     "sum_a double, sum_b double, delta_sum double"
@@ -1123,21 +1170,9 @@ def diff_stores(
     )
     reader_a = _ChunkReader(path_a, array_a, ma)
     reader_b = _ChunkReader(path_b, array_b, mb)
-    items = [
-        (s, cy, cx)
-        for s in layers
-        for cy in range(n_cy)
-        for cx in range(n_cx)
-    ]
-    # ORDER-PRESERVING slicing (not repartition, which hash-scatters the
-    # list): consecutive chunks share a shard, so sharded reads hit the
-    # per-task shard cache instead of re-parsing the object per chunk
-    work = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            items, min(len(items), spark.sparkContext.defaultParallelism * 4)
-        ),
-        "s int, cy int, cx int",
-    )
+    # chunk grid straight off spark.range — no driver-side work list; the
+    # contiguous id slices keep the per-task shard cache hitting
+    work = chunk_grid_df(spark, layers, n_cy, n_cx)
     codes = {i: c for i, c in enumerate(stored_codes)}
 
     def dd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1236,17 +1271,9 @@ def trend_stores(
         _ChunkReader(p, a, m) for p, (m, a) in zip(paths, metas)
     ]
     codes = {i: c for i, c in enumerate(stored_codes)}
-    items = [(s, cy, cx) for s in layers for cy in range(n_cy)
-             for cx in range(n_cx)]
-    # order-preserving slicing keeps consecutive chunks (same shard)
-    # in one task so sharded epochs hit the per-task shard cache
-    work = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            items,
-            min(len(items), spark.sparkContext.defaultParallelism * 4),
-        ),
-        "s int, cy int, cx int",
-    )
+    # chunk grid straight off spark.range — no driver-side work list; the
+    # contiguous id slices keep the per-task shard cache hitting
+    work = chunk_grid_df(spark, layers, n_cy, n_cx)
 
     def tr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -613,6 +613,29 @@ class TestDiffStores:
         assert all(r.n_diff == 0 and r.delta_sum == 0.0 for r in rows)
         assert all(r.sum_a == r.sum_b for r in rows)
 
+    def test_work_list_is_not_driver_side(self, spark, tmp_path):
+        """VERDICT r5 #1: the chunk-grid work list comes from spark.range +
+        column arithmetic — no driver-materialized O(chunks) Python list
+        (at 100 TB that list is ~25 M tuples of driver memory). The plan
+        must show a Range source, never a parallelized collection."""
+        a, b = self._stores(spark, tmp_path)
+        for df in (
+            zarrstore.diff_stores(spark, a, b),
+            zarrstore.trend_stores(spark, [a, b]),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Range (" in plan, plan[:400]
+            assert "ParallelCollectionRDD" not in plan
+            assert "Scan ExistingRDD" not in plan, plan[:400]
+
+    def test_chunk_grid_df_enumerates_grid_in_order(self, spark):
+        """spark.range arithmetic reproduces the old nested-loop (s, cy, cx)
+        enumeration exactly, including non-contiguous layer subsets."""
+        got = zarrstore.chunk_grid_df(spark, [0, 2, 5], 3, 4).collect()
+        want = [(s, cy, cx) for s in (0, 2, 5) for cy in range(3)
+                for cx in range(4)]
+        assert [(r.s, r.cy, r.cx) for r in got] == want
+
     def test_absent_chunk_diffs_against_fill(self, spark, tmp_path):
         """A chunk deleted from epoch B diffs against zeros (Zarr fill
         semantics); deleted from BOTH, the pair is skipped."""
