@@ -35,74 +35,14 @@ def q(name: str, oracle: Callable[[str], str] | None):
 
 # Driver-facing ordering: the driver's correctness snapshot samples the
 # FIRST 50 registry entries. The head rotates per round so every family
-# accumulates fresh driver evidence: the r4 snapshot covered the newest
-# operator families, so the r5 head front-loads (a) the round-5 additions
-# and (b) every query ABSENT from the r04 sample (their last driver rows
-# were r2/r3-era). scripts/check_correctness.py always runs the full
-# registry, so nothing is ever dropped from the local gate.
+# accumulates fresh driver evidence. Round-6 rotation (VERDICT r5 #2):
+# the head is the 50 queries whose last driver row predates the r05
+# sample — first the 22 absent from BOTH the r04 and r05 snapshots
+# (oldest evidence), then r04-era rows; all oracled. Everything
+# r05-sampled slides below the 50-sample boundary.
+# scripts/check_correctness.py always runs the full registry, so nothing
+# is ever dropped from the local gate.
 DRIVER_PRIORITY: list[str] = [
-    # round-5 additions (no driver row yet)
-    "repetition_filter",
-    "pii_scrub",
-    "c4_line_filter",
-    "zarr_v3_roundtrip",
-    "zarr_append_layer",
-    "zarr_blosc_roundtrip",
-    "zarr_multiscale",
-    "zarr_sharded_roundtrip",
-    "zarr_shard_window",
-    "geotiff_strip_scan",
-    "edge_energy",
-    "overview_stats",
-    "warp_regrid",
-    "store_diff",
-    "focal_store_sum",
-    "streaming_store_ingest",
-    "epoch_trend",
-    "compose_epochs",
-    "warp_bilinear",
-    "histogram_match",
-    "focal_store_max",
-    "point_timeseries",
-    # oldest-evidence queries — absent from the r04 sample (VERDICT r4 §3)
-    "knn_points",
-    "caption_check",
-    "diversity_pixel",
-    "proportion_pixel",
-    "rare_common_global",
-    "rare_common_tile_scope",
-    "dominance_global",
-    "species_presence_stats",
-    "top_species_by_coverage",
-    "point_biomass_lookup",
-    "clip_tile_sums",
-    "zonal_rollup",
-    "zonal_pivot",
-    "morans_i",
-    "sample_diversity",
-    "bh_fdr",
-    "cliffs_delta",
-    "mann_whitney",
-    "permutation_test",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "segment_revenue",
-    "user_sessions",
-    "token_stats",
-    "cosine_topk",
-    "ann_recall",
-    "ivf_trained_contract",
-    # --- 50-sample boundary (everything below has green r04 driver rows
-    # or fresh judge-run evidence; the full local gate still runs all of
-    # it every round; these slid below as the r5 zarr_multiscale /
-    # zarr_sharded / zarr_shard_window / warp_regrid additions took head
-    # slots — session_windows / cohens_d / rare_common_global_thresholded /
-    # top_event_users each keep a same-family representative in the
-    # sample; percentile_stretch keeps zonal_percentiles + render_layers
-    # as its histpct-family evidence, clean_corpus / doc_fingerprint /
-    # dedup_exact / ngram_jaccard_pairs / simhash_portable / lang_id
-    # / minhash_lsh_pairs keep the text family's other head entries) ---
     "minhash_lsh_pairs",
     "lang_id",
     "simhash_portable",
@@ -153,6 +93,58 @@ DRIVER_PRIORITY: list[str] = [
     "zorder_layout",
     "table_layout_roundtrip",
     "zarr_store_roundtrip",
+    # --- 50-sample boundary (green r05 driver rows below; the full
+    # local gate still runs every query each round) ---
+    "repetition_filter",
+    "pii_scrub",
+    "c4_line_filter",
+    "zarr_v3_roundtrip",
+    "zarr_append_layer",
+    "zarr_blosc_roundtrip",
+    "zarr_multiscale",
+    "zarr_sharded_roundtrip",
+    "zarr_shard_window",
+    "geotiff_strip_scan",
+    "edge_energy",
+    "overview_stats",
+    "warp_regrid",
+    "store_diff",
+    "focal_store_sum",
+    "streaming_store_ingest",
+    "epoch_trend",
+    "compose_epochs",
+    "warp_bilinear",
+    "histogram_match",
+    "focal_store_max",
+    "point_timeseries",
+    "knn_points",
+    "caption_check",
+    "diversity_pixel",
+    "proportion_pixel",
+    "rare_common_global",
+    "rare_common_tile_scope",
+    "dominance_global",
+    "species_presence_stats",
+    "top_species_by_coverage",
+    "point_biomass_lookup",
+    "clip_tile_sums",
+    "zonal_rollup",
+    "zonal_pivot",
+    "morans_i",
+    "sample_diversity",
+    "bh_fdr",
+    "cliffs_delta",
+    "mann_whitney",
+    "permutation_test",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "segment_revenue",
+    "user_sessions",
+    "token_stats",
+    "cosine_topk",
+    "ann_recall",
+    "ivf_trained_contract",
     "zarr_layer_slice",
     "geotiff_roundtrip",
     "geotiff_ingest",
@@ -306,9 +298,21 @@ FROM d WHERE rank <= 5"""
 
 @q("knn_points", _o_knn)
 def knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact kNN (k=5) via cell k-ring expansion + windowed top-k."""
+    """Exact kNN (k=5) via cell k-ring expansion + windowed top-k. Target
+    stats (count + extent) come from the fixture spec — pure metadata, so
+    the radius-sizing stats job is skipped (the estimate only seeds the
+    first ring radius; the completeness proof still gates the result)."""
+    from .constants import PIX, X0, Y0
+
+    spec = spec_for_sf_dir(sf_dir)
+    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1][2:]
+    n = vectors.N_POINTS.get(sf, 200)
+    gw = spec.tiles_x * spec.tile_w * PIX
+    gh = spec.tiles_y * spec.tile_h * PIX
     pts = tgen.points_df(spark, sf_dir)
-    out = knn.knn_join(pts, pts, k=5)
+    out = knn.knn_join(
+        pts, pts, k=5, target_stats=(n, X0, X0 + gw, Y0 - gh, Y0)
+    )
     return out.select(
         "point_id",
         F.col("rank").cast("int"),

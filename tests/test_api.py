@@ -191,9 +191,9 @@ class TestRasterPipelineFacade:
 class TestDriverSampleOrder:
     def test_driver_sample_covers_oldest_evidence_queries(self):
         """The driver's correctness snapshot samples the FIRST 50 registry
-        entries — the r5 head rotates to (a) round-5 additions and (b) the
-        queries ABSENT from the r04 sample (last driver rows r2/r3-era,
-        VERDICT r4 §3), and every sampled query carries an oracle."""
+        entries — the r6 head rotates to the queries ABSENT from the r05
+        sample (VERDICT r5 #2), oldest driver evidence first, and every
+        sampled query carries an oracle."""
         import json
 
         from gridfia_spark import queries as Q
@@ -201,22 +201,22 @@ class TestDriverSampleOrder:
         head = list(Q.registry())[:50]
         oracled = Q.oracles()
         for name in (
-            "zarr_v3_roundtrip",  # round-5 additions lead
-            "zarr_append_layer",
-            "diversity_pixel",  # judge-named oldest-evidence examples
-            "rare_common_global",
-            "mann_whitney",
-            "cosine_topk",
-            "ann_recall",
-            "tpch_q1",
-            "tpch_q3",
-            "tpch_q5",
+            "minhash_lsh_pairs",  # absent from both r04 and r05 samples
+            "dedup_exact",
+            "percentile_stretch",
+            "session_windows",
+            "embedding_cosine_dedup",
+            "zonal_total_biomass",  # r04-era evidence, rotated back in
+            "pip_points",
+            "metrics_pixel",
+            "tile_decode_stats",
+            "zarr_store_roundtrip",
         ):
             assert name in head, name
-        # nothing already green in the r04 snapshot occupies a head slot
-        r04 = set(json.load(open("/root/repo/CORRECTNESS_r04.json")))
-        overlap = [n for n in head if n in r04]
-        assert not overlap, f"head wastes slots on r04-sampled queries: {overlap}"
+        # nothing already green in the r05 snapshot occupies a head slot
+        r05 = set(json.load(open("/root/repo/CORRECTNESS_r05.json")))
+        overlap = [n for n in head if n in r05]
+        assert not overlap, f"head wastes slots on r05-sampled queries: {overlap}"
         assert all(n in oracled for n in head)
         # registry() and oracles() agree on the ordering
         assert [n for n in Q.registry() if n in oracled] == list(oracled)
