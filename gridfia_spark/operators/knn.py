@@ -119,8 +119,11 @@ def knn_join(
     else:
         est = init_radius
     radius = min(est, max_radius)
+    qleft = q  # queries whose top-k is not yet PROVEN complete
+    n_left = n_queries
+    done: list[DataFrame] = []  # proven per-query top-k pieces
     while radius <= max_radius:
-        cand = _ring_explode_xy(q, res, radius).join(t, "probe_cell")
+        cand = _ring_explode_xy(qleft, res, radius).join(t, "probe_cell")
         if exclude_self:
             cand = cand.filter(F.col("point_id") != F.col("neighbor_id"))
         dx = F.col("x") - F.col("nx")
@@ -133,23 +136,42 @@ def knn_join(
             .filter(F.col("rank") <= k)
             .select("point_id", "rank", "neighbor_id", "dist_sq")
         ).persist()
-        # completeness: every query found k neighbors, all within R*cell_size
-        # — one aggregation job over the per-query stats
-        chk = (
-            topk.groupBy("point_id")
-            .agg(F.count("*").alias("n"), F.max("dist_sq").alias("dk"))
-            .agg(
-                F.count("*").alias("n_q"),
-                F.sum(
-                    ((F.col("n") < k) | (F.col("dk") >= (radius * cs) ** 2)).cast("int")
-                ).alias("bad"),
-            )
-            .first()
+        # completeness per query: k neighbors found, all within R*cell_size
+        # (true d_k <= observed d_k, so a passing query's top-k is exact) —
+        # one aggregation job over the per-query stats
+        per = topk.groupBy("point_id").agg(
+            F.count("*").alias("n"), F.max("dist_sq").alias("dk")
         )
-        if chk.n_q == n_queries and chk.bad == 0:
-            return topk
-        topk.unpersist()
+        ok_expr = (F.col("n") >= k) & (F.col("dk") < F.lit((radius * cs) ** 2))
+        chk = per.agg(
+            F.count("*").alias("n_q"),
+            F.sum((~ok_expr).cast("int")).alias("bad"),
+        ).first()
+        n_ok = int(chk.n_q) - int(chk.bad)
+        if chk.bad == 0 and chk.n_q == n_left:
+            if not done:
+                return topk
+            out = done[0]
+            for piece in done[1:] + [topk]:
+                out = out.unionByName(piece)
+            return out
         if radius >= max_radius:
             break
+        # Only the UNPROVEN queries escalate (guide §2.3 — shuffle fewer
+        # bytes): the candidate explosion grows with R^2, so re-running the
+        # satisfied majority at the doubled radius would dominate the job.
+        # Keep this round's proven top-k rows, anti-join the satisfied ids
+        # out of the query side, and expand the ring only for the rest
+        # (including queries with zero candidates so far).
+        if n_ok > 0:
+            # id-only exchanges: the semi/anti joins move point ids, never
+            # candidate rows (broadcast left to the planner — at real scale
+            # ok_ids is O(queries) and must be allowed to shuffle)
+            ok_ids = per.filter(ok_expr).select("point_id")
+            done.append(topk.join(ok_ids, "point_id", "semi"))
+            qleft = qleft.join(ok_ids, "point_id", "anti")
+            n_left -= n_ok
+        else:
+            topk.unpersist()
         radius = min(radius * 2, max_radius)
     raise RuntimeError(f"knn_join did not converge within radius {max_radius}")

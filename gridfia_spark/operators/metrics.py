@@ -99,7 +99,17 @@ def metric_layers(
 
     All metrics share one decode pass (multi-metric per chunk,
     forest_metrics.py:410-423). ``on_error='sentinel'`` keeps going on kernel
-    failures, emitting NaN/-1 sentinel layers (reference convention)."""
+    failures, emitting NaN/-1 sentinel layers (reference convention).
+
+    Co-location is repartition(tx, ty) + sortWithinPartitions + a streaming
+    ``mapInPandas`` that groups inside each Arrow batch — the same single
+    exchange as ``groupBy().applyInPandas`` (plan pin unchanged) but without
+    FlatMapGroupsInPandas' one-Python-call-and-one-Arrow-batch-per-group
+    overhead (measured ~0.7 s on 1,444 six-row groups: identity
+    applyInPandas 1.05 s vs identity mapInPandas 0.35 s at the mid scale).
+    The sort makes groups contiguous, so the kernel pass holds at most ONE
+    tile group across a batch boundary — memory stays O(tile), not
+    O(partition)."""
     meta = decode.with_tile_meta(tiles).select(
         "tx", "ty", "s", "bytes", "w", "h", "fmt"
     )
@@ -109,9 +119,31 @@ def metric_layers(
     # fresh import (the same snapshot rule as multimodal._MEDIA_DECODERS)
     fns = {m.kernel: kernels.get(m.kernel) for m in specs}
     schema = "gx long, gy long, " + ", ".join(f"{m.out} {m.sql_type}" for m in specs)
-    return meta.groupBy("tx", "ty").applyInPandas(
-        lambda pdf: _run_tile_kernels(pdf, specs, on_error, fns), schema
-    )
+    part = meta.repartition("tx", "ty").sortWithinPartitions("tx", "ty")
+
+    def run(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            if pdf.empty:
+                pending = None
+                continue
+            # the trailing (tx, ty) group may continue in the next batch —
+            # defer it; everything before it is complete (rows are sorted)
+            tx = pdf["tx"].to_numpy()
+            ty = pdf["ty"].to_numpy()
+            last = (tx == tx[-1]) & (ty == ty[-1])
+            pending = pdf.loc[last]
+            body = pdf.loc[~last]
+            if body.empty:
+                continue
+            for _, g in body.groupby(["tx", "ty"], sort=False):
+                yield _run_tile_kernels(g, specs, on_error, fns)
+        if pending is not None and len(pending):
+            yield _run_tile_kernels(pending, specs, on_error, fns)
+
+    return part.mapInPandas(run, schema)
 
 
 def global_occurrence_freq(tiles: DataFrame, biomass_threshold: float = 0.0) -> dict[int, float]:
