@@ -59,23 +59,62 @@ def with_tile_meta(tiles: DataFrame) -> DataFrame:
 
 def with_tile_cells(tiles_meta: DataFrame, res: int = grid.JOIN_RES) -> DataFrame:
     """Explode each tile into its covering cells at ``res`` (the probe side of
-    the cell-prefix hash join). Cell ids come from a vectorized pandas UDF over
-    the bbox columns; one output row per (tile, cell)."""
+    the cell-prefix hash join) — one output row per (tile, cell).
 
-    @F.pandas_udf("array<long>")
-    def bbox_cells(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
-        out = []
-        eps = 1e-6  # treat the tile as half-open [xmin,xmax) x (ymin,ymax]
-        for a, b, c, d in zip(xmin, ymin, xmax, ymax):
-            out.append(
-                grid.cells_in_bbox(a + eps, b + eps, c - eps, d - eps, res).tolist()
-            )
-        return pd.Series(out)
+    Entirely JVM-side: clipped index ranges + two sequence explodes + the
+    Morton encode expression (grid.encode_cell_col), the same float math in
+    the same IEEE order as grid.cells_in_bbox, so cell ids are bit-identical
+    to the old pandas-UDF form without the ArrowEvalPython round-trip
+    (guide §4.1). eps treats the tile as half-open [xmin,xmax) x (ymin,ymax]."""
+    eps = 1e-6
+    size = grid.cell_size(res)
+    n = (1 << res) - 1
 
-    with_arr = tiles_meta.withColumn(
-        "cells", bbox_cells("xmin", "ymin", "xmax", "ymax")
-    ).withColumn("n_tile_cells", F.size("cells"))
-    return with_arr.withColumn("cell_id", F.explode("cells")).drop("cells")
+    def idx(coord, west_origin: bool):
+        if west_origin:
+            return F.floor((coord - F.lit(grid.WORLD_X0)) / F.lit(size))
+        return F.floor((F.lit(grid.WORLD_Y0) - coord) / F.lit(size))
+
+    # one-sided clips, exactly like grid.cells_in_bbox: lower bounds only
+    # floored at 0, upper bounds only capped at n — a bbox entirely outside
+    # the world keeps an inverted range and yields an EMPTY covering
+    ix0 = F.greatest(F.lit(0), idx(F.col("xmin") + F.lit(eps), True))
+    ix1 = F.least(F.lit(n), idx(F.col("xmax") - F.lit(eps), True))
+    iy0 = F.greatest(F.lit(0), idx(F.col("ymax") - F.lit(eps), False))
+    iy1 = F.least(F.lit(n), idx(F.col("ymin") + F.lit(eps), False))
+    d = (
+        tiles_meta.withColumn("_ix0", ix0)
+        .withColumn("_ix1", ix1)
+        .withColumn("_iy0", iy0)
+        .withColumn("_iy1", iy1)
+        .withColumn(
+            "n_tile_cells",
+            F.when(
+                (F.col("_ix1") >= F.col("_ix0")) & (F.col("_iy1") >= F.col("_iy0")),
+                (F.col("_ix1") - F.col("_ix0") + 1)
+                * (F.col("_iy1") - F.col("_iy0") + 1),
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+        # sequence(a, b) DESCENDS when b < a — for a degenerate bbox
+        # (either range inverted) emit an empty covering, which explode()
+        # then drops; rows that survive the first explode have both ranges
+        # valid, so the second sequence is safe unguarded
+        .withColumn(
+            "_ix",
+            F.explode(
+                F.when(
+                    (F.col("_ix1") >= F.col("_ix0"))
+                    & (F.col("_iy1") >= F.col("_iy0")),
+                    F.sequence(F.col("_ix0"), F.col("_ix1")),
+                ).otherwise(F.array())
+            ),
+        )
+        .withColumn("_iy", F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))))
+    )
+    out = d.withColumn(
+        "cell_id", grid.encode_cell_col(F.col("_ix"), F.col("_iy"), res)
+    )
+    return out.drop("_ix0", "_ix1", "_iy0", "_iy1", "_ix", "_iy")
 
 
 def pixels_long(tiles: DataFrame, species: list[int] | None = None) -> DataFrame:

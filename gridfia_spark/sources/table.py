@@ -31,7 +31,6 @@ Table DDL (executed once on the cluster):
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,18 +51,16 @@ def enriched_tiles(tiles: DataFrame, join_res: int = 15) -> DataFrame:
     meta = decode.with_tile_meta(tiles)
     from .. import grid
 
-    @F.pandas_udf("long")
-    def centroid_cell(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
-        cx = (xmin.to_numpy() + xmax.to_numpy()) / 2
-        cy = (ymin.to_numpy() + ymax.to_numpy()) / 2
-        return pd.Series(grid.cell_of_xy(cx, cy, join_res))
-
+    # centroid cell id as a JVM column expression (bit-identical Morton
+    # encode, no ArrowEvalPython round-trip — guide §4.1)
+    cx = (F.col("xmin") + F.col("xmax")) / F.lit(2.0)
+    cy = (F.col("ymin") + F.col("ymax")) / F.lit(2.0)
     return meta.select(
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
         F.col("code").alias("species_code"),
         F.col("tx").alias("tile_x"),
         F.col("ty").alias("tile_y"),
-        centroid_cell("xmin", "ymin", "xmax", "ymax").alias("cell_id"),
+        grid.cell_of_xy_col(cx, cy, join_res).alias("cell_id"),
     )
 
 
