@@ -104,6 +104,64 @@ def time_flagship(sf_dir: str, n: int = 5) -> dict:
     }
 
 
+def raster_ops(scale: str = "bench") -> dict:
+    """At-scale rows for the store/raster family (diff, trend, focal) —
+    the operators the driver bench does not time. Uses the 'bench' tile
+    scale (124,416 chunks = 2.04 B px) by default so the jobs run for
+    seconds; the store is (re)created from the tile cache each invocation
+    (no reuse across runs: create time is reported too)."""
+    import shutil
+
+    from gridfia_spark.datagen import tiles as tgen
+    from gridfia_spark.operators import focal
+    from gridfia_spark.sources import zarrstore
+
+    spark = _spark()
+    tiles = tgen.ensure_tiles(spark, scale, fmt="u8z")
+    tiles.count()
+    store = os.path.join(tgen.CACHE_ROOT, f"raster_ops_{scale}.zarr")
+    shutil.rmtree(store, ignore_errors=True)
+    t0 = time.time()
+    n_chunks = zarrstore.write_zarr_store(tiles, store)
+    create_s = time.time() - t0
+    row = tiles.select("w", "h").first()
+    px = n_chunks * int(row.w) * int(row.h)
+    out = {
+        "scale": scale,
+        "chunks": n_chunks,
+        "px": px,
+        "create_sec": round(create_s, 3),
+        "create_px_per_sec": round(px / create_s, 0),
+    }
+    spark.sparkContext.setJobDescription("diff_stores self-diff")
+    t0 = time.time()
+    zarrstore.diff_stores(spark, store, store).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.time() - t0
+    out["diff_sec"] = round(dt, 3)
+    out["diff_px_decoded_per_sec"] = round(2 * px / dt, 0)
+    spark.sparkContext.setJobDescription("trend_stores 3-epoch self-trend")
+    t0 = time.time()
+    zarrstore.trend_stores(spark, [store, store, store]).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    dt = time.time() - t0
+    out["trend3_sec"] = round(dt, 3)
+    out["trend3_px_decoded_per_sec"] = round(3 * px / dt, 0)
+    spark.sparkContext.setJobDescription("focal_sum3x3_store")
+    t0 = time.time()
+    focal.focal_sum3x3_store(spark, store).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.time() - t0
+    out["focal_sum_sec"] = round(dt, 3)
+    out["focal_px_per_sec"] = round(px / dt, 0)
+    spark.stop()
+    shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "queries"
     if cmd == "queries":
@@ -115,6 +173,9 @@ def main() -> None:
         sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
         suffix = sys.argv[4] if len(sys.argv) > 4 else "before"
         dump_plans(outdir, sf, suffix=suffix)
+    elif cmd == "raster":
+        scale = sys.argv[2] if len(sys.argv) > 2 else "bench"
+        print(json.dumps(raster_ops(scale)))
     elif cmd == "flagship":
         sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
         n = int(sys.argv[3]) if len(sys.argv) > 3 else 5
