@@ -628,6 +628,50 @@ class TestDiffStores:
             assert "ParallelCollectionRDD" not in plan
             assert "Scan ExistingRDD" not in plan, plan[:400]
 
+    def test_reference_reader_interop_both_dialects(self, spark, tmp_path):
+        """VERDICT r5 #8: parse the engine's store with a minimal
+        reimplementation of the reference ZarrStore's attr-reading logic
+        (zarr_utils.py:354-433 property fallbacks over the root attrs
+        written at :721-726 / :965-969) and assert crs / transform /
+        species metadata round-trip WITHOUT hitting any silent default."""
+        import json as _json
+
+        from gridfia_spark.constants import PIX, SPECIES, X0, Y0, spec_for_sf_dir
+
+        tiles = tgen.ensure_tiles(spark, SF_DIR)
+        spec = spec_for_sf_dir(SF_DIR)
+        gw, gh = spec.gw, spec.gh
+
+        def reference_open(path, version):
+            # root-attrs read path of the reference's ZarrStore.__init__
+            if version == 2:
+                attrs = _json.load(open(os.path.join(path, ".zattrs")))
+            else:
+                attrs = _json.load(open(os.path.join(path, "zarr.json")))[
+                    "attributes"
+                ]
+            # property logic verbatim: every .get default is a SENTINEL we
+            # must never see (the silent-default failure mode)
+            crs = attrs.get("crs", "EPSG:3857")
+            transform = attrs.get("transform", [1, 0, 0, 0, -1, 0])[:6]
+            bounds = attrs.get("bounds", [0, 0, 1, 1])[:4]
+            codes = list(attrs.get("species_codes", []))
+            names = list(attrs.get("species_names", []))
+            n = attrs.get("num_species", None)
+            return crs, transform, bounds, codes, names, n
+
+        for fmt in (2, 3):
+            store = str(tmp_path / f"interop_v{fmt}.zarr")
+            zarrstore.write_zarr_store(tiles, store, zarr_format=fmt)
+            crs, t, bounds, codes, names, n = reference_open(store, fmt)
+            assert crs == "ESRI:102039", crs  # not the EPSG:3857 default
+            # rasterio Affine order (a, b, c, d, e, f)
+            assert t == [PIX, 0.0, X0, 0.0, -PIX, Y0], t
+            assert bounds == [X0, Y0 - gh * PIX, X0 + gw * PIX, Y0], bounds
+            assert codes == [c for c, _ in SPECIES]
+            assert names == [nm for _, nm in SPECIES]
+            assert n == len(SPECIES)
+
     def test_chunk_grid_df_enumerates_grid_in_order(self, spark):
         """spark.range arithmetic reproduces the old nested-loop (s, cy, cx)
         enumeration exactly, including non-contiguous layer subsets."""
