@@ -41,14 +41,25 @@ def species_dim(spark: SparkSession) -> DataFrame:
 
 def with_tile_meta(tiles: DataFrame) -> DataFrame:
     """Parse species/tile coords out of image_id and add the tile's bbox —
-    all built-in expressions (regexp_extract + arithmetic), no UDF."""
-    spark = tiles.sparkSession
+    all built-in expressions (regexp_extract + arithmetic), no UDF. The
+    species dimension is zipped in as MAP LITERALS (element_at), not a
+    broadcast join: the join added a BroadcastExchange + hash join to every
+    tile query just to attach a 6-row dimension, and an unknown code maps
+    to NULL either way (left-join semantics preserved). The column set is
+    identical; only the plan shape changed."""
+    smap = F.create_map(
+        *[x for i, (c, _) in enumerate(SPECIES) for x in (F.lit(c), F.lit(i))]
+    )
+    nmap = F.create_map(
+        *[x for _, (c, n) in enumerate(SPECIES) for x in (F.lit(c), F.lit(n))]
+    )
     d = (
         tiles.withColumn("code", F.regexp_extract("image_id", r"^sp(\d{4})_", 1))
         .withColumn("tx", F.regexp_extract("image_id", r"_tx(\d+)_", 1).cast("int"))
         .withColumn("ty", F.regexp_extract("image_id", r"_ty(\d+)$", 1).cast("int"))
+        .withColumn("s", F.element_at(smap, F.col("code")).cast("int"))
+        .withColumn("name", F.element_at(nmap, F.col("code")))
     )
-    d = d.join(F.broadcast(species_dim(spark)), "code", "left")
     return (
         d.withColumn("xmin", F.lit(X0) + F.col("tx") * F.col("w") * F.lit(PIX))
         .withColumn("xmax", F.col("xmin") + F.col("w") * F.lit(PIX))

@@ -60,10 +60,16 @@ class TestPlanShapes:
         assert re.search(r"ShuffledHashJoin \[image_id", plan)
 
     def test_driver_zonal_still_map_side(self, spark):
-        """The small-polygon driver-covering path keeps the broadcast
-        map-side join (tile bytes never shuffle)."""
+        """The small-polygon driver-covering path stays map-side: tile
+        bytes never shuffle and no join operator touches them (the polygon
+        index rides a SparkContext broadcast inside the kernel; the species
+        dimension is a map literal since r6 — so the plan has NO join at
+        all, and the only exchange is the final tiny aggregation)."""
         plan = _plan(spark, "zonal_total_biomass")
-        assert "BroadcastExchange" in plan
+        assert "Join" not in plan, plan[:400]
+        scan = next(l for l in plan.splitlines() if "FileScan" in l)
+        assert "bytes" in scan  # the one pass that decodes
+        assert _hash_exchanges(plan) == 1  # partials -> final groupBy only
 
     def test_spend_quartiles_no_global_window(self, spark):
         """PLANS.md §12 addendum: NTILE semantics without a global sort —
