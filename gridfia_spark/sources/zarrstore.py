@@ -126,16 +126,12 @@ def _write_chunks(
     zarr_format: int,
     layer: int | None = None,
     codec: str | None = None,
-    with_stats: bool = False,
-):
+) -> int:
     """Distributed chunk write: every task serializes and writes its own
     chunk files (v2 ``s.ty.tx`` flat names; v3 ``c/s/ty/tx`` nested keys;
     gzip written with mtime=0 so bytes are deterministic). ``codec`` is
     ``zlib``/``gzip``/``blosc`` (default per dialect); ``layer`` overrides
-    the layer index for single-layer appends. Returns the chunk count —
-    or, with ``with_stats=True``, the one-row grid-stats Row (count +
-    s/tx/ty maxima + w/h extrema) aggregated in the SAME action, so a
-    store write needs no separate metadata-scan job."""
+    the layer index for single-layer appends. Returns the chunk count."""
     v3 = zarr_format == 3
     codec = codec or _default_codec(zarr_format)
     os.makedirs(adir, exist_ok=True)
@@ -172,17 +168,7 @@ def _write_chunks(
     manifest = meta.select("s", "tx", "ty", "bytes", "w", "h", "fmt").mapInPandas(
         wchunks, "s int, tx int, ty int, w int, h int"
     )
-    stats = manifest.agg(
-        F.count("*").alias("n"),
-        F.max("s").alias("smax"),
-        F.max("tx").alias("txmax"),
-        F.max("ty").alias("tymax"),
-        F.min("w").alias("w"),
-        F.max("w").alias("wmax"),
-        F.min("h").alias("h"),
-        F.max("h").alias("hmax"),
-    ).first()
-    return stats if with_stats else int(stats.n)
+    return int(manifest.agg(F.count("*").alias("n")).first().n)
 
 
 def _write_array_meta(
