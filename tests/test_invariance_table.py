@@ -70,6 +70,11 @@ zs = zarr_sharded_roundtrip(spark, "/root/testdata/sf0.001").toPandas()
 zs = zs.sort_values("image_id", ignore_index=True)
 zm = zarr_multiscale(spark, "/root/testdata/sf0.001").toPandas()
 zm = zm.sort_values(["lvl", "image_id"], ignore_index=True)
+# round-6: the sorted batch-grouping metric pass holds a tile group across
+# Arrow batch boundaries — partition layout and batch splits change with
+# cores/shuffle settings, results must not
+mx = Q.metrics_pixel(spark, "/root/testdata/sf0.001").toPandas()
+mx = mx.sort_values(["gx", "gy"], ignore_index=True)
 print("RESULT" + json.dumps({{"zonal": pdf.to_dict("records"),
                               "sharded": zs.to_dict("records"),
                               "multiscale": zm.to_dict("records"),
@@ -84,7 +89,8 @@ print("RESULT" + json.dumps({{"zonal": pdf.to_dict("records"),
                               "stripscan": gs.to_dict("records"),
                               "edge": ee.to_dict("records"),
                               "overview": ov.to_dict("records"),
-                              "warp": wr.to_dict("records")}}))
+                              "warp": wr.to_dict("records"),
+                              "metrics": mx.to_dict("records")}}))
 spark.stop()
 """
 
